@@ -1,0 +1,264 @@
+"""Policy and value networks over BlockGraphs.
+
+Behavioral parity references:
+ - PolicyNet / TanhNormal head: /root/reference/dgppo/algo/module/policy.py:20-78
+ - PPOPolicy wiring (GraphTransformerGNN(msg=32, heads=3) + MLP(64,64) head +
+   GRU/LSTM(64) + scaled Dense(64) + mean/std heads):
+   /root/reference/dgppo/algo/module/policy.py:132-212
+ - RStateFn (centralized Vl: GNN -> mean-pool -> head -> RNN -> Dense(n_out)):
+   /root/reference/dgppo/algo/module/value.py:15-44
+ - DecRStateFn (per-agent Vh, optional global mean-pool concat):
+   /root/reference/dgppo/algo/module/value.py:47-79
+ - ValueNet factory: /root/reference/dgppo/algo/module/value.py:82-157
+"""
+import functools as ft
+from typing import Any, Callable, Optional, Tuple, Type
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from ..graph import BlockGraph
+from ..nn.distribution import TanhNormalDistribution
+from ..nn.gnn import GraphTransformerGNN
+from ..nn.mlp import MLP, default_nn_init, scaled_init
+from ..nn.rnn import RNN
+from ..utils.typing import Action, Array, Params, PRNGKey
+
+
+class PolicyNet(nn.Module):
+    gnn_cls: Callable[[], nn.Module]
+    head_cls: Callable[[], nn.Module]
+    rnn_cls: Optional[Callable[[], nn.Module]] = None
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph, rnn_state: Array, node_type: int = None):
+        x = self.gnn_cls()(graph, node_type)
+        x = self.head_cls()(x)
+        if self.rnn_cls is not None:
+            x, rnn_state = self.rnn_cls()(x, rnn_state)
+        return x, rnn_state
+
+
+class TanhNormal(nn.Module):
+    """GNN trunk -> scaled Dense(64) -> mean/std heads -> TanhNormal dist.
+
+    std = softplus(x + softplus_inv(std_dev_init)) + std_dev_min
+    (reference policy.py:47-74).
+    """
+
+    base_cls: Callable[[], nn.Module]
+    nu: int
+    scale_final: float = 0.01
+    std_dev_min: float = 1e-5
+    std_dev_init: float = 0.5
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph, rnn_state: Array):
+        import numpy as np
+
+        x, rnn_state = self.base_cls()(graph, rnn_state=rnn_state, node_type=0)
+        scaler_init = scaled_init(default_nn_init(), self.scale_final)
+        feats_scaled = nn.Dense(64, kernel_init=scaler_init, name="ScaleHid")(x)
+
+        means = nn.Dense(self.nu, kernel_init=default_nn_init(), name="OutputDenseMean")(feats_scaled)
+        stds_trans = nn.Dense(self.nu, kernel_init=default_nn_init(), name="OutputDenseStdTrans")(feats_scaled)
+        std_init_inv = float(np.log(np.exp(self.std_dev_init) - 1.0))
+        stds = jax.nn.softplus(stds_trans + std_init_inv) + self.std_dev_min
+        return TanhNormalDistribution(means, stds), rnn_state
+
+
+class PPOPolicy:
+    """Functional policy wrapper: get_action / sample_action / eval_action."""
+
+    def __init__(
+        self,
+        node_dim: int,
+        edge_dim: int,
+        n_agents: int,
+        action_dim: int,
+        use_rnn: bool = True,
+        rnn_layers: int = 1,
+        gnn_layers: int = 1,
+        gnn_out_dim: int = 16,
+        use_lstm: bool = False,
+    ):
+        self.node_dim = node_dim
+        self.edge_dim = edge_dim
+        self.n_agents = n_agents
+        self.action_dim = action_dim
+        self.gnn_out_dim = gnn_out_dim
+        self.use_rnn = use_rnn
+        self.use_lstm = use_lstm
+        self.rnn_layers = rnn_layers
+
+        gnn = ft.partial(
+            GraphTransformerGNN, msg_dim=32, out_dim=gnn_out_dim, n_heads=3, n_layers=gnn_layers
+        )
+        head = ft.partial(MLP, hid_sizes=(64, 64), act=nn.relu, act_final=True, name="PolicyGNNHead")
+        if use_rnn:
+            self.rnn_base = ft.partial(nn.LSTMCell if use_lstm else nn.GRUCell, features=64)
+            rnn = ft.partial(RNN, rnn_cls=self.rnn_base, rnn_layers=rnn_layers)
+            base = ft.partial(PolicyNet, gnn_cls=gnn, head_cls=head, rnn_cls=rnn)
+        else:
+            self.rnn_base = None
+            base = ft.partial(PolicyNet, gnn_cls=gnn, head_cls=head)
+        self.dist = TanhNormal(base_cls=base, nu=action_dim)
+
+    @property
+    def n_carries(self) -> int:
+        return 2 if self.use_lstm else 1
+
+    def initialize_carry(self, key: PRNGKey) -> Array:
+        """Per-agent carry; zeros, matching flax cell init on zero inputs."""
+        if self.use_rnn:
+            cell = self.rnn_base()
+            carry = cell.initialize_carry(key, (self.gnn_out_dim,))
+            if isinstance(carry, tuple):
+                return jnp.stack(carry, axis=0)  # (n_carries, hid)
+            return carry[None]
+        return jnp.zeros((1, self.gnn_out_dim))
+
+    def init_rnn_state(self, key: PRNGKey) -> Array:
+        """(n_layers, n_agents, n_carries, hid) — reference informarl.py:114-124."""
+        keys = jr.split(key, self.n_agents)
+        per_agent = jax.vmap(self.initialize_carry)(keys)  # (a, n_carries, hid)
+        return jnp.repeat(per_agent[None], self.rnn_layers, axis=0)
+
+    def init(self, key: PRNGKey, graph: BlockGraph, rnn_state: Array) -> Params:
+        return self.dist.init(key, graph, rnn_state)
+
+    def get_action(self, params: Params, graph: BlockGraph, rnn_state: Array) -> Tuple[Action, Array]:
+        dist, rnn_state = self.dist.apply(params, graph, rnn_state)
+        return dist.mode(), rnn_state
+
+    def sample_action(
+        self, params: Params, graph: BlockGraph, rnn_state: Array, key: PRNGKey
+    ) -> Tuple[Action, Array, Array]:
+        dist, rnn_state = self.dist.apply(params, graph, rnn_state)
+        action = dist.sample(seed=key)
+        log_pi = dist.log_prob(action)
+        return action, log_pi, rnn_state
+
+    def eval_action(
+        self, params: Params, graph: BlockGraph, action: Action, rnn_state: Array, key: PRNGKey
+    ) -> Tuple[Array, Array, Array]:
+        dist, rnn_state = self.dist.apply(params, graph, rnn_state)
+        log_pi = dist.log_prob(action)
+        entropy = dist.entropy(seed=key)
+        return log_pi, entropy, rnn_state
+
+
+class RStateFn(nn.Module):
+    """Centralized value: GNN over agents -> mean pool -> head -> RNN -> Dense."""
+
+    gnn_cls: Callable[[], nn.Module]
+    head_cls: Callable[[], nn.Module]
+    n_out: int = 1
+    rnn_cls: Optional[Callable[[], nn.Module]] = None
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph, rnn_state: Array):
+        x = self.gnn_cls()(graph, node_type=0)  # (a, d)
+        x = x.mean(axis=0, keepdims=True)  # (1, d)
+        x = self.head_cls()(x)
+        if self.rnn_cls is not None:
+            x, rnn_state = self.rnn_cls()(x, rnn_state)
+        x = nn.Dense(self.n_out, kernel_init=default_nn_init())(x)
+        return x, rnn_state  # (1, n_out)
+
+
+class DecRStateFn(nn.Module):
+    """Per-agent value; optionally concat a global mean-pool feature."""
+
+    gnn_cls: Callable[[], nn.Module]
+    head_cls: Callable[[], nn.Module]
+    n_out: int = 1
+    rnn_cls: Optional[Callable[[], nn.Module]] = None
+    use_global_info: bool = False
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph, rnn_state: Array):
+        x = self.gnn_cls()(graph, node_type=0)  # (a, d)
+        if self.use_global_info:
+            n_agents = x.shape[0]
+            x_global = x.mean(axis=0, keepdims=True)
+            x = jnp.concatenate([x, jnp.tile(x_global, (n_agents, 1))], axis=-1)
+        x = self.head_cls()(x)
+        if self.rnn_cls is not None:
+            x, rnn_state = self.rnn_cls()(x, rnn_state)
+        x = nn.Dense(self.n_out, kernel_init=default_nn_init())(x)
+        return x, rnn_state  # (a, n_out)
+
+
+class ValueNet:
+    """Factory choosing centralized (RStateFn) vs decomposed (DecRStateFn)."""
+
+    def __init__(
+        self,
+        node_dim: int,
+        edge_dim: int,
+        n_agents: int,
+        n_out: int = 1,
+        use_rnn: bool = True,
+        rnn_layers: int = 1,
+        gnn_layers: int = 1,
+        gnn_out_dim: int = 16,
+        use_lstm: bool = False,
+        decompose: bool = False,
+        use_global_info: bool = False,
+        n_heads: int = 3,
+    ):
+        self.n_agents = n_agents
+        self.n_out = n_out
+        self.gnn_out_dim = gnn_out_dim
+        self.decompose = decompose
+        self.use_rnn = use_rnn
+        self.use_lstm = use_lstm
+        self.rnn_layers = rnn_layers
+
+        gnn = ft.partial(
+            GraphTransformerGNN, msg_dim=32, out_dim=gnn_out_dim, n_heads=n_heads, n_layers=gnn_layers
+        )
+        head = ft.partial(MLP, hid_sizes=(64, 64), act=nn.relu, act_final=True, name="ValueGNNHead")
+        if use_rnn:
+            self.rnn_base = ft.partial(nn.LSTMCell if use_lstm else nn.GRUCell, features=64)
+            rnn = ft.partial(RNN, rnn_cls=self.rnn_base, rnn_layers=rnn_layers)
+        else:
+            self.rnn_base = None
+            rnn = None
+
+        if decompose:
+            self.net = DecRStateFn(
+                gnn_cls=gnn, head_cls=head, n_out=n_out, rnn_cls=rnn, use_global_info=use_global_info
+            )
+        else:
+            self.net = RStateFn(gnn_cls=gnn, head_cls=head, n_out=n_out, rnn_cls=rnn)
+
+    @property
+    def n_carries(self) -> int:
+        return 2 if self.use_lstm else 1
+
+    def initialize_carry(self, key: PRNGKey) -> Array:
+        if self.use_rnn:
+            cell = self.rnn_base()
+            carry = cell.initialize_carry(key, (self.gnn_out_dim,))
+            if isinstance(carry, tuple):
+                return jnp.stack(carry, axis=0)
+            return carry[None]
+        return jnp.zeros((1, self.gnn_out_dim))
+
+    def init_rnn_state(self, key: PRNGKey, n_slots: int) -> Array:
+        """(n_layers, n_slots, n_carries, hid); n_slots=1 for centralized Vl
+        (informarl.py:152-160), n_agents for decomposed Vh
+        (informarl_lagr.py:85-93)."""
+        keys = jr.split(key, n_slots)
+        per_slot = jax.vmap(self.initialize_carry)(keys)
+        return jnp.repeat(per_slot[None], self.rnn_layers, axis=0)
+
+    def init(self, key: PRNGKey, graph: BlockGraph, rnn_state: Array) -> Params:
+        return self.net.init(key, graph, rnn_state)
+
+    def get_value(self, params: Params, graph: BlockGraph, rnn_state: Array):
+        return self.net.apply(params, graph, rnn_state)

@@ -1,0 +1,199 @@
+"""Block-dense Graph Transformer — masked dense attention over static blocks.
+
+TPU-first re-engineering of the reference GraphTransformer
+(/root/reference/dgppo/nn/gnn.py:78-142). The reference computes per-edge
+multi-head attention over a flat edge list with `jraph.segment_softmax`
+(gather + scatter, batch-hostile). Because every environment's candidate-edge
+structure is a static union of dense (receiver-range × sender-range) blocks,
+we compute the exact same math as masked dense attention:
+
+  Q = Dense(recv_feats), K = Dense(send_feats), V = Dense(send_feats),
+  E = Dense_nobias(edge_feats)                      [gnn.py:85-98]
+  logits = <Q, K> / sqrt(out_dim)                   [gnn.py:100]
+  attn   = softmax over *all* incoming edges of a receiver across blocks
+           (masked entries excluded)                [gnn.py:101 segment_softmax]
+  msg    = mean_heads(attn * (V + E))               [gnn.py:104-107]
+  node'  = act(Dense(node) + sum_incoming msg)      [gnn.py:109-114]
+
+The softmax normalization spans blocks: we do a numerically-stable two-pass
+(global per-receiver max, then exp-sum) with static-slice accumulation —
+XLA compiles these to dynamic_update_slice, no scatter. Receivers with zero
+unmasked incoming edges get a zero message, matching the reference where such
+nodes receive an empty segment_sum.
+
+Equivalence to the reference formulation is tested against a from-scratch
+segment-softmax oracle in tests/test_gnn.py.
+"""
+import math
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..graph import BlockGraph
+from ..utils.typing import Array
+from .mlp import MLP, default_nn_init
+
+NEG_INF = -1e30
+
+
+class BlockGraphTransformer(nn.Module):
+    """One graph-transformer layer over a BlockGraph. Returns updated nodes."""
+
+    n_heads: int
+    out_dim: int
+    act: Callable[[Array], Array] = nn.relu
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph) -> Array:
+        spec = graph.spec
+        x = graph.nodes  # (N, d)
+        N = spec.n_nodes
+        H, D = self.n_heads, self.out_dim
+
+        q = nn.Dense(H * D, kernel_init=default_nn_init(), name="query")(x).reshape(N, H, D)
+        k = nn.Dense(H * D, kernel_init=default_nn_init(), name="key")(x).reshape(N, H, D)
+        v = nn.Dense(H * D, kernel_init=default_nn_init(), name="value")(x).reshape(N, H, D)
+
+        edge_proj = nn.Dense(H * D, use_bias=False, kernel_init=default_nn_init(), name="edge")
+
+        # Per-block logits and projected (V + E) messages.
+        logits = []  # (nr, ns, H) per block
+        vpe = []  # (nr, ns, H, D) per block
+        for e_feats, mask, b in zip(graph.edges, graph.masks, spec.blocks):
+            qr = q[b.recv_slice]  # (nr, H, D)
+            ks = k[b.send_slice]  # (ns, H, D)
+            vs = v[b.send_slice]
+            eb = edge_proj(e_feats).reshape(b.n_recv, b.n_send, H, D)
+            lg = jnp.einsum("rhd,shd->rsh", qr, ks) / math.sqrt(D)
+            lg = jnp.where(mask[..., None], lg, NEG_INF)
+            logits.append(lg)
+            vpe.append(vs[None, :, :, :] + eb)
+
+        # Pass 1: global per-receiver max across blocks (softmax stability).
+        m = jnp.full((N, H), NEG_INF)
+        for lg, b in zip(logits, spec.blocks):
+            r = b.recv_slice
+            m = m.at[r].set(jnp.maximum(m[r], lg.max(axis=1)))
+        m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+
+        # Pass 2: exp-sum denominators and weighted message numerators.
+        z = jnp.zeros((N, H))
+        s = jnp.zeros((N, H, D))
+        for lg, msg, mask, b in zip(logits, vpe, graph.masks, spec.blocks):
+            r = b.recv_slice
+            p = jnp.exp(lg - m_safe[r][:, None, :])  # (nr, ns, H)
+            p = jnp.where(mask[..., None], p, 0.0)
+            z = z.at[r].add(p.sum(axis=1))
+            s = s.at[r].add(jnp.einsum("rsh,rshd->rhd", p, msg))
+
+        aggr = jnp.where(z[..., None] > 0, s / jnp.maximum(z[..., None], 1e-38), 0.0)
+        aggr = aggr.mean(axis=1)  # mean over heads -> (N, D)
+
+        out = nn.Dense(D, kernel_init=default_nn_init(), name="update")(x)
+        return self.act(out + aggr)
+
+
+class GraphTransformerGNN(nn.Module):
+    """n-layer stack; last layer width = out_dim, earlier layers = msg_dim.
+
+    Parity: reference GraphTransformerGNN (nn/gnn.py:127-142).
+    """
+
+    msg_dim: int
+    out_dim: int
+    n_heads: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph, node_type: int = None) -> Array:
+        for i in range(self.n_layers):
+            out_dim = self.out_dim if i == self.n_layers - 1 else self.msg_dim
+            new_nodes = BlockGraphTransformer(self.n_heads, out_dim, act=nn.relu)(graph)
+            graph = graph.replace(nodes=new_nodes)
+        if node_type is None:
+            return graph.nodes
+        return graph.type_nodes(node_type)
+
+
+class AttentionAggregation(nn.Module):
+    """Alternative GNN layer: MLP message + gated softmax aggregation.
+
+    Parity: reference AttentionAggregation (nn/gnn.py:44-75). Constructible
+    via config but unused by the default algorithms (SURVEY.md §2.2).
+    """
+
+    msg_dim: int
+    out_dim: int
+    hid_size_msg: tuple
+    hid_size_aggr: tuple
+    hid_size_update: tuple
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph) -> Array:
+        spec = graph.spec
+        x = graph.nodes
+        N = spec.n_nodes
+
+        msg_net = MLP(hid_sizes=self.hid_size_msg, act=nn.relu, act_final=False, name="msg")
+        msg_out = nn.Dense(self.msg_dim, kernel_init=default_nn_init(), name="msg_out")
+        attn_net = MLP(hid_sizes=self.hid_size_aggr, act=nn.relu, act_final=False, name="attn")
+        attn_out = nn.Dense(1, kernel_init=default_nn_init(), name="attn_out")
+        upd_net = MLP(hid_sizes=self.hid_size_update, act=nn.relu, act_final=False, name="update")
+        upd_out = nn.Dense(self.out_dim, kernel_init=default_nn_init(), name="update_out")
+
+        msgs, gates = [], []
+        for e_feats, mask, b in zip(graph.edges, graph.masks, spec.blocks):
+            send = jnp.broadcast_to(x[b.send_slice][None, :, :], (b.n_recv, b.n_send, x.shape[-1]))
+            recv = jnp.broadcast_to(x[b.recv_slice][:, None, :], (b.n_recv, b.n_send, x.shape[-1]))
+            feats = jnp.concatenate([e_feats, send, recv], axis=-1)
+            mb = msg_out(msg_net(feats))  # (nr, ns, msg_dim)
+            gb = attn_out(attn_net(mb)).squeeze(-1)  # (nr, ns)
+            gb = jnp.where(mask, gb, NEG_INF)
+            msgs.append(mb)
+            gates.append(gb)
+
+        m = jnp.full((N,), NEG_INF)
+        for gb, b in zip(gates, spec.blocks):
+            r = b.recv_slice
+            m = m.at[r].set(jnp.maximum(m[r], gb.max(axis=1)))
+        m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+
+        z = jnp.zeros((N,))
+        s = jnp.zeros((N, self.msg_dim))
+        for gb, mb, mask, b in zip(gates, msgs, graph.masks, spec.blocks):
+            r = b.recv_slice
+            p = jnp.where(mask, jnp.exp(gb - m_safe[r][:, None]), 0.0)
+            z = z.at[r].add(p.sum(axis=1))
+            s = s.at[r].add(jnp.einsum("rs,rsd->rd", p, mb))
+        aggr = jnp.where(z[:, None] > 0, s / jnp.maximum(z[:, None], 1e-38), 0.0)
+
+        feats = jnp.concatenate([x, aggr], axis=-1)
+        return upd_out(upd_net(feats))
+
+
+class AttentionAggregationGNN(nn.Module):
+    """Parity: reference AttentionAggregationGNN (nn/gnn.py:145-171)."""
+
+    msg_dim: int
+    hid_size_msg: tuple
+    hid_size_aggr: tuple
+    hid_size_update: tuple
+    out_dim: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, graph: BlockGraph, node_type: int = None) -> Array:
+        for i in range(self.n_layers):
+            out_dim = self.out_dim if i == self.n_layers - 1 else self.msg_dim
+            new_nodes = AttentionAggregation(
+                msg_dim=self.msg_dim,
+                out_dim=out_dim,
+                hid_size_msg=tuple(self.hid_size_msg),
+                hid_size_aggr=tuple(self.hid_size_aggr),
+                hid_size_update=tuple(self.hid_size_update),
+            )(graph)
+            graph = graph.replace(nodes=new_nodes)
+        if node_type is None:
+            return graph.nodes
+        return graph.type_nodes(node_type)

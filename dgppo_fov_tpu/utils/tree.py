@@ -1,0 +1,109 @@
+"""Pytree and array helpers.
+
+Behavioral parity reference: /root/reference/dgppo/utils/utils.py:19-207
+(merge01, jax_vmap, rep_vmap, tree_index, tree_stack/merge, mask2index ...).
+All implementations here are original, written for fixed-shape TPU execution.
+"""
+import functools as ft
+from typing import Any, Callable, Sequence, TypeVar
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+
+_T = TypeVar("_T")
+
+
+def merge01(x: jax.Array) -> jax.Array:
+    """Flatten the first two axes into one."""
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def jax_vmap(fn: Callable, in_axes: Any = 0, out_axes: Any = 0) -> Callable:
+    return jax.vmap(fn, in_axes=in_axes, out_axes=out_axes)
+
+
+def rep_vmap(fn: Callable, rep: int, in_axes: Any = 0) -> Callable:
+    """Nested vmap `rep` times (vmap over the first `rep` batch axes)."""
+    for _ in range(rep):
+        fn = jax.vmap(fn, in_axes=in_axes)
+    return fn
+
+
+def tree_index(tree: _T, idx) -> _T:
+    """Index every leaf of a pytree along axis 0."""
+    return jtu.tree_map(lambda x: x[idx], tree)
+
+
+def tree_stack(trees: Sequence[_T], axis: int = 0) -> _T:
+    return jtu.tree_map(lambda *xs: jnp.stack(xs, axis=axis), *trees)
+
+
+def tree_concat(trees: Sequence[_T], axis: int = 0) -> _T:
+    return jtu.tree_map(lambda *xs: jnp.concatenate(xs, axis=axis), *trees)
+
+
+def tree_where(cond, x: _T, y: _T) -> _T:
+    return jtu.tree_map(lambda a, b: jnp.where(cond, a, b), x, y)
+
+
+def tree_copy(tree: _T) -> _T:
+    return jtu.tree_map(lambda x: x.copy(), tree)
+
+
+def jax2np(tree: _T) -> _T:
+    return jtu.tree_map(np.asarray, tree)
+
+
+def np2jax(tree: _T) -> _T:
+    return jtu.tree_map(jnp.asarray, tree)
+
+
+def jax_jit_np(fn: Callable, *jit_args, **jit_kwargs) -> Callable:
+    """jit a function and pull results back to host numpy."""
+    jit_fn = jax.jit(fn, *jit_args, **jit_kwargs)
+
+    @ft.wraps(fn)
+    def wrapped(*args, **kwargs):
+        return jax2np(jit_fn(*args, **kwargs))
+
+    return wrapped
+
+
+def chunk_vmap(fn: Callable, chunks: int) -> Callable:
+    """vmap evaluated in `chunks` sequential pieces to bound peak memory."""
+
+    def wrapped(*args):
+        split_args = [
+            [jtu.tree_map(lambda x: x[i::chunks], a) for a in args] for i in range(chunks)
+        ]
+        outs = [jax.vmap(fn)(*sa) for sa in split_args]
+        n = jtu.tree_leaves(outs[0])[0].shape[0] * chunks
+        # Interleave back: out[i::chunks] = outs[i]
+        def merge(*leaves):
+            total = sum(l.shape[0] for l in leaves)
+            out = jnp.zeros((total,) + leaves[0].shape[1:], leaves[0].dtype)
+            for i, l in enumerate(leaves):
+                out = out.at[i::chunks].set(l)
+            return out
+
+        del n
+        return jtu.tree_map(merge, *outs)
+
+    return wrapped
+
+
+def assert_shape(x, shape, name: str = ""):
+    """Trace-time shape contract check (free under jit)."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    if x.shape != tuple(shape):
+        raise AssertionError(f"assert_shape{f' {name}' if name else ''}: {x.shape} != {tuple(shape)}")
+    return x
+
+
+def mask2index(mask: jax.Array, n_true: int) -> jax.Array:
+    """Return indices of the `n_true` largest mask entries (top-k on bool mask)."""
+    idx = jnp.argsort(mask, descending=True)[:n_true]
+    return idx
