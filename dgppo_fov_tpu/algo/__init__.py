@@ -1,0 +1,3 @@
+from .registry import make_algo
+
+__all__ = ["make_algo"]

@@ -34,8 +34,17 @@ class BlockSpec(NamedTuple):
     """Static description of one dense candidate-edge block.
 
     Receivers are nodes [recv_start, recv_start+n_recv); senders are nodes
-    [send_start, send_start+n_send). Edge features are dense (n_recv, n_send,
-    edge_dim); a boolean mask selects the real edges.
+    [send_start, send_start+n_send). Two layouts:
+
+     - dense (diag_chunk == 0): every receiver sees every sender; edge
+       features are (n_recv, n_send, edge_dim), mask (n_recv, n_send).
+     - diagonal (diag_chunk == k > 0): receiver i sees only senders
+       [send_start + i*k, send_start + (i+1)*k) — e.g. each agent's own
+       top-k LiDAR hits. n_send must equal n_recv * k; edge features are
+       (n_recv, k, edge_dim), mask (n_recv, k). This stores k edges per
+       receiver instead of n_recv*k — the TPU-native replacement for the
+       reference's per-agent 1-row edge blocks
+       (/root/reference/dgppo/env/lidar_env/lidar_target.py:79-94).
     """
 
     name: str
@@ -43,6 +52,7 @@ class BlockSpec(NamedTuple):
     n_recv: int
     send_start: int
     n_send: int
+    diag_chunk: int = 0
 
     @property
     def recv_slice(self) -> slice:
@@ -51,6 +61,13 @@ class BlockSpec(NamedTuple):
     @property
     def send_slice(self) -> slice:
         return slice(self.send_start, self.send_start + self.n_send)
+
+    @property
+    def edge_shape(self):
+        if self.diag_chunk:
+            assert self.n_send == self.n_recv * self.diag_chunk
+            return (self.n_recv, self.diag_chunk)
+        return (self.n_recv, self.n_send)
 
 
 class TypeSpec(NamedTuple):
@@ -164,8 +181,8 @@ def build_graph(
     assert states.shape == (spec.n_nodes, spec.state_dim), (states.shape, spec)
     assert len(edges) == len(masks) == len(spec.blocks)
     for e, m, b in zip(edges, masks, spec.blocks):
-        assert e.shape == (b.n_recv, b.n_send, spec.edge_dim), (b.name, e.shape)
-        assert m.shape == (b.n_recv, b.n_send), (b.name, m.shape)
+        assert e.shape == b.edge_shape + (spec.edge_dim,), (b.name, e.shape)
+        assert m.shape == b.edge_shape, (b.name, m.shape)
     masks = tuple(m.astype(bool) for m in masks)
     return BlockGraph(node_feats, states, edges, masks, env_states, spec)
 
@@ -177,6 +194,6 @@ def nominal_graph(spec: GraphSpec) -> BlockGraph:
     """
     nodes = jnp.zeros((spec.n_nodes, spec.node_dim))
     states = jnp.zeros((spec.n_nodes, spec.state_dim))
-    edges = tuple(jnp.zeros((b.n_recv, b.n_send, spec.edge_dim)) for b in spec.blocks)
-    masks = tuple(jnp.ones((b.n_recv, b.n_send), dtype=bool) for b in spec.blocks)
+    edges = tuple(jnp.zeros(b.edge_shape + (spec.edge_dim,)) for b in spec.blocks)
+    masks = tuple(jnp.ones(b.edge_shape, dtype=bool) for b in spec.blocks)
     return BlockGraph(nodes, states, edges, masks, None, spec)

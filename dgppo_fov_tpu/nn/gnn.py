@@ -57,18 +57,29 @@ class BlockGraphTransformer(nn.Module):
 
         edge_proj = nn.Dense(H * D, use_bias=False, kernel_init=default_nn_init(), name="edge")
 
-        # Per-block logits and projected (V + E) messages.
-        logits = []  # (nr, ns, H) per block
-        vpe = []  # (nr, ns, H, D) per block
+        # Per-block logits and projected (V + E) messages. Dense blocks give
+        # (nr, ns, ...); diagonal blocks give (nr, chunk, ...) where receiver
+        # r's senders are its own contiguous chunk.
+        logits = []
+        vpe = []
         for e_feats, mask, b in zip(graph.edges, graph.masks, spec.blocks):
             qr = q[b.recv_slice]  # (nr, H, D)
-            ks = k[b.send_slice]  # (ns, H, D)
+            ks = k[b.send_slice]
             vs = v[b.send_slice]
-            eb = edge_proj(e_feats).reshape(b.n_recv, b.n_send, H, D)
-            lg = jnp.einsum("rhd,shd->rsh", qr, ks) / math.sqrt(D)
+            if b.diag_chunk:
+                c = b.diag_chunk
+                ks = ks.reshape(b.n_recv, c, H, D)
+                vs = vs.reshape(b.n_recv, c, H, D)
+                eb = edge_proj(e_feats).reshape(b.n_recv, c, H, D)
+                lg = jnp.einsum("rhd,rchd->rch", qr, ks) / math.sqrt(D)
+                msg = vs + eb
+            else:
+                eb = edge_proj(e_feats).reshape(b.n_recv, b.n_send, H, D)
+                lg = jnp.einsum("rhd,shd->rsh", qr, ks) / math.sqrt(D)
+                msg = vs[None, :, :, :] + eb
             lg = jnp.where(mask[..., None], lg, NEG_INF)
             logits.append(lg)
-            vpe.append(vs[None, :, :, :] + eb)
+            vpe.append(msg)
 
         # Pass 1: global per-receiver max across blocks (softmax stability).
         m = jnp.full((N, H), NEG_INF)
@@ -144,8 +155,12 @@ class AttentionAggregation(nn.Module):
 
         msgs, gates = [], []
         for e_feats, mask, b in zip(graph.edges, graph.masks, spec.blocks):
-            send = jnp.broadcast_to(x[b.send_slice][None, :, :], (b.n_recv, b.n_send, x.shape[-1]))
-            recv = jnp.broadcast_to(x[b.recv_slice][:, None, :], (b.n_recv, b.n_send, x.shape[-1]))
+            n_send = b.diag_chunk if b.diag_chunk else b.n_send
+            if b.diag_chunk:
+                send = x[b.send_slice].reshape(b.n_recv, b.diag_chunk, x.shape[-1])
+            else:
+                send = jnp.broadcast_to(x[b.send_slice][None, :, :], (b.n_recv, n_send, x.shape[-1]))
+            recv = jnp.broadcast_to(x[b.recv_slice][:, None, :], (b.n_recv, n_send, x.shape[-1]))
             feats = jnp.concatenate([e_feats, send, recv], axis=-1)
             mb = msg_out(msg_net(feats))  # (nr, ns, msg_dim)
             gb = attn_out(attn_net(mb)).squeeze(-1)  # (nr, ns)

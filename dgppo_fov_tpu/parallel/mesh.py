@@ -1,0 +1,88 @@
+"""Device mesh + batch sharding — the scale-out layer the reference lacks.
+
+The reference is strictly single-device: `jax.vmap` over envs inside one jit
+(SURVEY.md §2.9; reference algo/informarl.py:177-186). Here we scale the env
+(batch) axis across chips the idiomatic TPU way:
+
+ - one 1-D `jax.sharding.Mesh` over all devices, axis name "env";
+ - PRNG keys / rollouts are placed with NamedSharding(P("env")) so the jitted
+   vmapped rollout partitions across chips with zero code changes (GSPMD);
+ - parameters stay replicated (the model is ~1e5 params — pure DP is right,
+   SURVEY.md §2.9); gradient means over the batch axis become psum/all-reduce
+   collectives inserted by XLA over ICI.
+
+Multi-host: call `init_distributed()` first (jax.distributed.initialize), then
+the same mesh spans all hosts' devices and the batch must be fed host-locally
+(jax.make_array_from_process_local_data).
+"""
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "env"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX; no-op for a single process.
+
+    Explicit args or the standard JAX env vars (JAX_COORDINATOR_ADDRESS /
+    cluster auto-detection) trigger jax.distributed.initialize.
+    """
+    import os
+
+    if coordinator_address is None and num_processes is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id
+    )
+
+
+def make_mesh(devices=None, axis_name: str = ENV_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices; env/batch axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(ENV_AXIS))
+
+
+def replicated_sharding(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Optional[Mesh]):
+    """Place a batch-leading pytree on the mesh, sharded over the env axis.
+
+    Leaves whose batch dim does not divide the mesh stay unsharded.
+    """
+    if mesh is None:
+        return x
+    n_dev = mesh.devices.size
+    sharding = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+
+    def put(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] % n_dev == 0:
+            return jax.device_put(leaf, sharding)
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map(put, x)
+
+
+def replicate(x, mesh: Optional[Mesh]):
+    if mesh is None:
+        return x
+    rep = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), x)

@@ -1,0 +1,92 @@
+"""Full-state checkpointing (the reference saves only net params).
+
+The reference pickles just the network params into models/<step>/{actor,Vl,
+Vh}.pkl and restarts optimizer/PRNG/lagrangian state on resume
+(/root/reference/dgppo/algo/informarl_lagr.py:311-327, SURVEY.md §5). We keep
+that layout for CLI parity (Algorithm.save/load) and add true-resume
+full-state checkpoints here: TrainStates (params + optimizer), PRNG key,
+Lagrange multipliers, and the step counter, via Orbax when available with a
+pickle fallback.
+"""
+import os
+import pickle
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def gather_full_state(algo, step: int) -> Dict[str, Any]:
+    state = {
+        "step": step,
+        "key": np.asarray(algo.key),
+        "policy_train_state": _to_host(
+            {"params": algo.policy_train_state.params, "opt_state": algo.policy_train_state.opt_state,
+             "step": algo.policy_train_state.step}
+        ),
+        "Vl_train_state": _to_host(
+            {"params": algo.Vl_train_state.params, "opt_state": algo.Vl_train_state.opt_state,
+             "step": algo.Vl_train_state.step}
+        ),
+    }
+    if hasattr(algo, "Vh_train_state"):
+        state["Vh_train_state"] = _to_host(
+            {"params": algo.Vh_train_state.params, "opt_state": algo.Vh_train_state.opt_state,
+             "step": algo.Vh_train_state.step}
+        )
+    if hasattr(algo, "ah_lagr"):
+        state["ah_lagr"] = np.asarray(algo.ah_lagr)
+    return state
+
+
+def restore_full_state(algo, state: Dict[str, Any]) -> int:
+    import jax.numpy as jnp
+
+    algo.key = jnp.asarray(state["key"])
+    for name in ("policy_train_state", "Vl_train_state", "Vh_train_state"):
+        if name in state and hasattr(algo, name):
+            ts = getattr(algo, name)
+            saved = state[name]
+            setattr(
+                algo,
+                name,
+                ts.replace(params=saved["params"], opt_state=saved["opt_state"], step=saved["step"]),
+            )
+    if "ah_lagr" in state and hasattr(algo, "ah_lagr"):
+        algo.ah_lagr = jnp.asarray(state["ah_lagr"])
+    return int(state["step"])
+
+
+def save_checkpoint(algo, ckpt_dir: str, step: int) -> str:
+    """Write a full-state checkpoint to ckpt_dir/full_<step>."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = gather_full_state(algo, step)
+    path = os.path.join(ckpt_dir, f"full_{step}")
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), state, force=True)
+    except Exception:
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(state, f)
+        path = path + ".pkl"
+    return path
+
+
+def load_checkpoint(algo, ckpt_dir: str, step: int) -> int:
+    """Restore a full-state checkpoint; returns the training step."""
+    path = os.path.join(ckpt_dir, f"full_{step}")
+    if os.path.exists(path + ".pkl"):
+        with open(path + ".pkl", "rb") as f:
+            state = pickle.load(f)
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.abspath(path))
+    return restore_full_state(algo, state)

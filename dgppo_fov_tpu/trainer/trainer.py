@@ -1,0 +1,154 @@
+"""Training loop: eval / save / collect / update.
+
+Behavioral parity reference: /root/reference/dgppo/trainer/trainer.py:18-141.
+Metric names and semantics match exactly (eval/reward, eval/reward_final,
+eval/cost, eval/unsafe_frac; trainer.py:108-119). Fixed test keys are
+`jr.split(PRNGKey(seed), 1000)[:n_env_test]` (trainer.py:98-100).
+
+TPU additions: optional device mesh — eval/collect PRNG keys are sharded over
+the mesh's env axis so XLA partitions the embarrassingly-parallel rollouts
+across chips (GSPMD); update-side collectives are inserted automatically.
+Per-phase wall-clock timing and steps/s/chip are recorded every eval.
+"""
+import functools as ft
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+from .data import Rollout
+from .logger import MetricsLogger
+from .rollout import test_rollout
+
+
+class Trainer:
+    def __init__(
+        self,
+        env,
+        env_test,
+        algo,
+        gamma: float,
+        n_env_train: int,
+        n_env_test: int,
+        log_dir: Optional[str],
+        seed: int,
+        params: dict,
+        save_log: bool = True,
+        mesh=None,
+        use_wandb: bool = True,
+    ):
+        self.env = env
+        self.env_test = env_test
+        self.algo = algo
+        self.gamma = gamma
+        self.n_env_train = n_env_train
+        self.n_env_test = n_env_test
+        self.log_dir = log_dir
+        self.seed = seed
+        self.mesh = mesh
+
+        assert "run_name" in params and "training_steps" in params
+        assert params.get("eval_interval", 1) > 0 and params.get("save_interval", 1) > 0
+        assert params.get("eval_epi", 1) >= 1
+        self.params = params
+
+        self.save_log = save_log and log_dir is not None
+        if self.save_log:
+            os.makedirs(log_dir, exist_ok=True)
+            self.model_dir = os.path.join(log_dir, "models")
+            os.makedirs(self.model_dir, exist_ok=True)
+
+        self.logger = MetricsLogger(
+            log_dir if self.save_log else None,
+            run_name=params["run_name"],
+            group=env.__class__.__name__,
+            use_wandb=use_wandb,
+            save_log=self.save_log,
+        )
+
+        self.steps = params["training_steps"]
+        self.eval_interval = params["eval_interval"]
+        self.eval_epi = params["eval_epi"]
+        self.save_interval = params["save_interval"]
+
+        self.update_steps = 0
+        self.key = jr.PRNGKey(seed)
+
+    def train(self):
+        start_time = time.time()
+        init_rnn_state = self.algo.init_rnn_state
+
+        def test_fn_single(params, key):
+            act_fn = ft.partial(self.algo.act, params=params)
+            return test_rollout(self.env_test, act_fn, init_rnn_state, key)
+
+        test_fn = jax.jit(lambda params, keys: jax.vmap(ft.partial(test_fn_single, params))(keys))
+
+        test_key = jr.PRNGKey(self.seed)
+        assert self.n_env_test <= 1_000
+        test_keys = jr.split(test_key, 1_000)[: self.n_env_test]
+        test_keys = shard_batch(test_keys, self.mesh)
+
+        n_chips = max(1, len(jax.devices()))
+        env_steps_per_iter = self.n_env_train * self.env.max_episode_steps
+
+        for step in range(0, self.steps + 1):
+            if step % self.eval_interval == 0:
+                eval_t0 = time.time()
+                test_rollouts: Rollout = test_fn(self.algo.params, test_keys)
+                total_reward = test_rollouts.rewards.sum(axis=-1)
+                reward_min, reward_max = float(total_reward.min()), float(total_reward.max())
+                reward_mean = float(np.mean(np.asarray(total_reward)))
+                reward_final = float(np.mean(np.asarray(test_rollouts.rewards[:, -1])))
+                cost = float(
+                    jnp.maximum(test_rollouts.costs, 0.0).max(axis=-1).max(axis=-1).sum(axis=-1).mean()
+                )
+                unsafe_frac = float(
+                    np.mean(np.asarray(test_rollouts.costs.max(axis=-1).max(axis=-2)) >= 1e-6)
+                )
+                eval_info = {
+                    "eval/reward": reward_mean,
+                    "eval/reward_final": reward_final,
+                    "eval/cost": cost,
+                    "eval/unsafe_frac": unsafe_frac,
+                    "time/eval_s": time.time() - eval_t0,
+                }
+                elapsed = time.time() - start_time
+                print(
+                    f"step: {step:3}, time: {elapsed:5.0f}s, reward: {reward_mean:9.4f}, "
+                    f"min/max reward: {reward_min:7.2f}/{reward_max:7.2f}, cost: {cost:8.4f}, "
+                    f"unsafe_frac: {unsafe_frac:6.2f}",
+                    flush=True,
+                )
+                self.logger.log(eval_info, step=self.update_steps)
+
+            if self.save_log and step % self.save_interval == 0:
+                self.algo.save(self.model_dir, step)
+
+            collect_t0 = time.time()
+            key_x0, self.key = jr.split(self.key)
+            key_x0 = jr.split(key_x0, self.n_env_train)
+            key_x0 = shard_batch(key_x0, self.mesh)
+            rollouts = self.algo.collect(self.algo.params, key_x0)
+            jax.block_until_ready(rollouts.rewards)
+            collect_s = time.time() - collect_t0
+
+            update_t0 = time.time()
+            update_info = self.algo.update(rollouts, step)
+            update_s = time.time() - update_t0
+
+            update_info = dict(update_info) | {
+                "time/collect_s": collect_s,
+                "time/update_s": update_s,
+                "perf/env_steps_per_s_per_chip": env_steps_per_iter / max(collect_s, 1e-9) / n_chips,
+                "perf/updates_per_s": 1.0 / max(update_s, 1e-9),
+            }
+            self.logger.log(update_info, step=self.update_steps)
+            self.update_steps += 1
+
+        self.logger.close()
