@@ -1,10 +1,15 @@
 """Force tests onto a virtual 8-device CPU mesh (standard JAX trick for
-testing sharding/mesh code without a real TPU slice — SURVEY.md §4)."""
+testing sharding/mesh code without a real TPU slice — SURVEY.md §4).
+
+Note: this image's sitecustomize registers an 'axon' TPU platform and
+prepends it to jax_platforms, so env vars alone don't stick — we must
+override the config after importing jax (before any backend is initialized).
+"""
 import os
 
-# Force CPU (the session may pre-set JAX_PLATFORMS to a TPU backend).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
