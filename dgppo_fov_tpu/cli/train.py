@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh", action="store_true", default=False,
                         help="Shard the env axis over all local devices.")
     parser.add_argument("--no-wandb", action="store_true", default=False)
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Write a jax.profiler trace of one train iteration here.")
+    parser.add_argument("--load-full", type=str, default=None,
+                        help="Full-state checkpoint dir (ckpt/) for a true resume.")
     return parser
 
 
@@ -133,6 +137,12 @@ def train(args):
         assert args.load_step is not None, "--load-checkpoint requires --load-step"
         print(f"> Loading checkpoint from {args.load_checkpoint}, step {args.load_step}")
         algo.load(args.load_checkpoint, args.load_step)
+    if args.load_full:
+        from ..trainer.checkpoint import load_checkpoint as load_full_checkpoint
+
+        assert args.load_step is not None, "--load-full requires --load-step"
+        resumed_step = load_full_checkpoint(algo, args.load_full, args.load_step)
+        print(f"> Resumed full state at step {resumed_step}")
 
     rng_ = np.random.default_rng()
     rand_id = "".join([chr(rng_.integers(65, 91)) for _ in range(4)])
@@ -170,6 +180,7 @@ def train(args):
         save_log=not args.debug,
         mesh=mesh,
         use_wandb=not args.no_wandb,
+        profile_dir=args.profile_dir,
     )
 
     trainer.logger.config(vars(args) | algo.config)

@@ -26,6 +26,23 @@ def RK4_step(x_dot_fn, x, u, dt):
     return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
+def lqr(A: np.ndarray, B: np.ndarray, Q: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Discrete-time LQR gain K for u = -K x.
+
+    Parity: reference env/utils.py:24-46 (defined, unused at runtime).
+    Solves the discrete algebraic Riccati equation by fixed-point iteration
+    (avoids the scipy dependency; converges for stabilizable systems).
+    """
+    X = Q.copy()
+    for _ in range(10_000):
+        X_next = A.T @ X @ A - A.T @ X @ B @ np.linalg.inv(R + B.T @ X @ B) @ B.T @ X @ A + Q
+        if np.max(np.abs(X_next - X)) < 1e-10:
+            X = X_next
+            break
+        X = X_next
+    return np.linalg.inv(B.T @ X @ B + R) @ (B.T @ X @ A)
+
+
 def inside_obstacles(points: Pos, obstacles=None, r: Radius = 0.0) -> BoolScalar:
     """True where a point is within distance r of any obstacle.
 

@@ -63,8 +63,12 @@ class VMASReverseTransport(MultiAgentEnv):
         self.n_obs = 3
         self.frame_skip = 4
 
+        # NOTE: the physics dt is the physax default 0.1 regardless of the
+        # env dt (reference constructs World() without dt,
+        # vmas_reverse_transport.py:139, while make_env passes dt=0.03 to the
+        # env, env/__init__.py:53 — a documented reference quirk).
         self._world = World(
-            dt=dt, substeps=5, x_semidim=1.2, y_semidim=1.2, contact_margin=6e-3, collision_force=500
+            dt=0.1, substeps=5, x_semidim=1.2, y_semidim=1.2, contact_margin=6e-3, collision_force=500
         )
         box_spec = EntitySpec(
             name="box",

@@ -77,7 +77,9 @@ class VMASWheel(MultiAgentEnv):
         self.obs_init_pad_rad = np.deg2rad(1)
         self.frame_skip = 3
 
-        self._world = World(dt=dt, x_semidim=1.2, y_semidim=1.2)
+        # Physics dt is the physax default 0.1 regardless of env dt
+        # (reference vmas_wheel.py:132 + env/__init__.py:53 quirk).
+        self._world = World(dt=0.1, x_semidim=1.2, y_semidim=1.2)
         line_spec = EntitySpec(
             name="line",
             shape=Line(length=self.line_length),

@@ -41,6 +41,8 @@ class Trainer:
         save_log: bool = True,
         mesh=None,
         use_wandb: bool = True,
+        full_checkpoint: bool = True,
+        profile_dir: Optional[str] = None,
     ):
         self.env = env
         self.env_test = env_test
@@ -78,6 +80,8 @@ class Trainer:
 
         self.update_steps = 0
         self.key = jr.PRNGKey(seed)
+        self.full_checkpoint = full_checkpoint
+        self.profile_dir = profile_dir
 
     def train(self):
         start_time = time.time()
@@ -129,6 +133,15 @@ class Trainer:
 
             if self.save_log and step % self.save_interval == 0:
                 self.algo.save(self.model_dir, step)
+                if self.full_checkpoint:
+                    from .checkpoint import save_checkpoint
+
+                    save_checkpoint(self.algo, os.path.join(self.log_dir, "ckpt"), step)
+
+            # jax.profiler trace of one train iteration (SURVEY.md §5:
+            # tracing/profiling — absent in the reference).
+            if self.profile_dir is not None and step == 2:
+                jax.profiler.start_trace(self.profile_dir)
 
             collect_t0 = time.time()
             key_x0, self.key = jr.split(self.key)
@@ -141,6 +154,9 @@ class Trainer:
             update_t0 = time.time()
             update_info = self.algo.update(rollouts, step)
             update_s = time.time() - update_t0
+
+            if self.profile_dir is not None and step == 2:
+                jax.profiler.stop_trace()
 
             update_info = dict(update_info) | {
                 "time/collect_s": collect_s,
