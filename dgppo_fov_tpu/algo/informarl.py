@@ -207,7 +207,7 @@ class InforMARL(Algorithm):
 
         # Strip env_states before entering jit (informarl.py:261-264).
         rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), next_graph=rollout.next_graph.without_env_states()
+            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
         )
 
         update_info = {}
@@ -250,10 +250,10 @@ class InforMARL(Algorithm):
         )(rollout)
 
         def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, tree_index(graph, -1), rnn_state)
+            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
             return Vl.squeeze(0).squeeze(0)
 
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.next_graph, final_Vl_rnn_states)
+        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
         bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
 
         # GAE with cost folded into the loss (informarl.py:324-331).

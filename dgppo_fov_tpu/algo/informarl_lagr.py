@@ -116,7 +116,7 @@ class InforMARLLagr(InforMARL):
     def update(self, rollout: Rollout, step: int) -> dict:
         key, self.key = jr.split(self.key)
         rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), next_graph=rollout.next_graph.without_env_states()
+            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
         )
 
         update_info = {}
@@ -170,10 +170,10 @@ class InforMARLLagr(InforMARL):
         )(rollout)
 
         def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, tree_index(graph, -1), rnn_state)
+            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
             return Vl.squeeze(0).squeeze(0)
 
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.next_graph, final_Vl_rnn_states)
+        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
         bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
 
         bTah_Vh, bT_Vh_rnn_states, final_Vh_rnn_states = jax.vmap(
@@ -181,10 +181,10 @@ class InforMARLLagr(InforMARL):
         )(rollout)
 
         def final_Vh_fn(graph, rnn_state):
-            Vh, _ = self.Vh.get_value(Vh_train_state.params, tree_index(graph, -1), rnn_state)
+            Vh, _ = self.Vh.get_value(Vh_train_state.params, graph, rnn_state)
             return Vh
 
-        bah_final_Vh = jax.vmap(final_Vh_fn)(rollout.next_graph, final_Vh_rnn_states)
+        bah_final_Vh = jax.vmap(final_Vh_fn)(rollout.final_graph, final_Vh_rnn_states)
         bTp1ah_Vh = jnp.concatenate([bTah_Vh, bah_final_Vh[:, None]], axis=1)
 
         bTah_Qh, bT_Ql = jax.vmap(

@@ -1,7 +1,15 @@
 """Rollout container.
 
-Behavioral parity reference: /root/reference/dgppo/trainer/data.py:8-32.
-Batched shape convention: (b, T, ...).
+Behavioral parity reference: /root/reference/dgppo/trainer/data.py:8-32, with
+one TPU-motivated difference: the reference stores `next_graph` per step
+(trainer/utils.py:50-56) even though every consumer only reads the *final*
+next graph (e.g. informarl.py:319 `tree_index(rollout.next_graph, -1)`), and
+next_graph[t] == graph[t+1] anyway. Storing both doubles the HBM writes of
+every rollout step. We store the trajectory graphs once plus a single
+`final_graph` (the graph after the last step), halving graph bandwidth on the
+hot rollout loop with identical information content.
+
+Batched shape convention: (b, T, ...); final_graph is (b, ...).
 """
 from typing import NamedTuple, Optional
 
@@ -10,14 +18,14 @@ from ..utils.typing import Action, Array, Cost, Done, Reward
 
 
 class Rollout(NamedTuple):
-    graph: BlockGraph
-    actions: Action
-    rnn_states: Array
-    rewards: Reward
-    costs: Cost
-    dones: Done
-    log_pis: Optional[Array]
-    next_graph: BlockGraph
+    graph: BlockGraph  # (b, T, ...)
+    actions: Action  # (b, T, a, nu)
+    rnn_states: Array  # (b, T, ...)
+    rewards: Reward  # (b, T)
+    costs: Cost  # (b, T, a, nh)
+    dones: Done  # (b, T)
+    log_pis: Optional[Array]  # (b, T, a)
+    final_graph: BlockGraph  # (b, ...) — graph after the last step
 
     @property
     def length(self) -> int:

@@ -1,0 +1,91 @@
+"""Trainer loop, metrics logging, checkpointing, env-registry hygiene."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dgppo_fov_tpu.algo import make_algo
+from dgppo_fov_tpu.env import make_env
+from dgppo_fov_tpu.trainer.trainer import Trainer
+
+
+def test_trainer_short_loop(tmp_path):
+    np.random.seed(0)
+    env = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+    env_test = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+    algo = make_algo(
+        algo="dgppo",
+        env=env,
+        node_dim=env.node_dim,
+        edge_dim=env.edge_dim,
+        state_dim=env.state_dim,
+        action_dim=env.action_dim,
+        n_agents=3,
+        batch_size=16,
+        rnn_step=4,
+        seed=0,
+        train_steps=2,
+    )
+    trainer = Trainer(
+        env=env,
+        env_test=env_test,
+        algo=algo,
+        gamma=0.99,
+        n_env_train=4,
+        n_env_test=2,
+        log_dir=str(tmp_path),
+        seed=0,
+        params={"run_name": "t", "training_steps": 1, "eval_interval": 1, "eval_epi": 1, "save_interval": 1},
+        save_log=True,
+        use_wandb=False,
+    )
+    trainer.train()
+
+    # Metrics JSONL written with the reference metric names.
+    metrics_path = tmp_path / "metrics.jsonl"
+    assert metrics_path.exists()
+    records = [json.loads(l) for l in metrics_path.read_text().splitlines()]
+    keys = set().union(*[set(r) for r in records])
+    for name in ["eval/reward", "eval/cost", "eval/unsafe_frac", "policy/loss", "Vl/loss",
+                 "perf/env_steps_per_s_per_chip"]:
+        assert name in keys, name
+
+    # Params-only models and full-state checkpoints exist.
+    assert (tmp_path / "models" / "0" / "actor.pkl").exists()
+    assert any((tmp_path / "ckpt").iterdir())
+
+
+def test_make_env_does_not_mutate_class_params():
+    from dgppo_fov_tpu.env.mpe.mpe_target import MPETarget
+
+    before = dict(MPETarget.PARAMS)
+    env = make_env("MPETarget", num_agents=3, num_obs=7)
+    assert env.params["n_obs"] == 7
+    assert MPETarget.PARAMS == before  # reference mutates this (SURVEY.md §5); we don't
+
+
+def test_cost_clip_quirks():
+    """MPE clips min only; Lidar clips both sides (reference quirk, SURVEY.md §7)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    mpe = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+    g = mpe.reset(jr.PRNGKey(0))
+    # Force a collision: all agents at the same point -> raw cost 2r = 0.1,
+    # margin +0.5 -> 0.6 (positive; MPE applies no upper clip but raw agent
+    # costs are bounded by 2r so it never binds).
+    st = g.env_states
+    agent = jnp.broadcast_to(st.agent[0], st.agent.shape)
+    cost = np.asarray(mpe.get_cost(mpe.get_graph(st._replace(agent=agent))))
+    np.testing.assert_allclose(cost[:, 0], 0.6, atol=1e-6)
+
+    lidar = make_env("LidarTarget", num_agents=3, max_step=8)
+    g = lidar.reset(jr.PRNGKey(0))
+    st = g.env_states
+    agent = jnp.broadcast_to(st.agent[0], st.agent.shape)
+    lidar_data = lidar.get_lidar_data(agent, st.obstacle)
+    g2 = lidar.get_graph(st._replace(agent=agent), lidar_data)
+    cost = np.asarray(lidar.get_cost(g2))
+    assert cost.max() <= 1.0  # Lidar: clipped to [-1, 1]
