@@ -2,10 +2,15 @@
 """Benchmark: DGPPO env-steps/s/chip on batched rollout collection.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: BASELINE.json target is >=50x CPU env-steps/s on one chip at 2048
-envs. We measure the jitted vmapped rollout (policy forward + env step) at
-2048 envs on whatever backend is available, plus a small-scale CPU reference
-to compute the speedup, and report env steps/s/chip.
+BASELINE.json targets: >=50x CPU env-steps/s on one chip at 2048 envs.
+
+Env vars:
+  BENCH_ENV       environment id        (default MPETarget)
+  BENCH_N_ENV     parallel envs         (default 2048)
+  BENCH_MAX_STEP  horizon               (default 128)
+  BENCH_N_AGENTS  agents                (default 3)
+  BENCH_MODE      rollout | update      (default rollout)
+  BENCH_CPU_BASELINE  steps/s reference (default: measured on this image)
 """
 import json
 import os
@@ -17,11 +22,11 @@ import jax
 import jax.random as jr
 
 
-def build(n_env: int, max_step: int = 128):
+def build(env_id: str, n_env: int, max_step: int, n_agents: int):
     from dgppo_fov_tpu.algo import make_algo
     from dgppo_fov_tpu.env import make_env
 
-    env = make_env("MPETarget", num_agents=3, num_obs=3, max_step=max_step)
+    env = make_env(env_id, num_agents=n_agents, max_step=max_step)
     algo = make_algo(
         algo="dgppo",
         env=env,
@@ -53,25 +58,61 @@ def time_rollout(env, algo, n_env: int, iters: int = 3) -> float:
     return n_env * env.max_episode_steps / dt
 
 
+def time_update(env, algo, n_env: int, iters: int = 3) -> float:
+    """Returns PPO updates/s (full DGPPO update incl. det rollout + GAE)."""
+    import numpy as np
+
+    np.random.seed(0)
+    keys = jr.split(jr.PRNGKey(0), n_env)
+    rollout = algo.collect(algo.params, keys)
+    jax.block_until_ready(rollout.rewards)
+    info = algo.update(rollout, step=0)  # compile
+    jax.block_until_ready(info["policy/loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        info = algo.update(rollout, step=i + 1)
+        jax.block_until_ready(info["policy/loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt
+
+
 def main():
+    env_id = os.environ.get("BENCH_ENV", "MPETarget")
     n_env = int(os.environ.get("BENCH_N_ENV", 2048))
     max_step = int(os.environ.get("BENCH_MAX_STEP", 128))
+    n_agents = int(os.environ.get("BENCH_N_AGENTS", 3))
+    mode = os.environ.get("BENCH_MODE", "rollout")
 
-    env, algo = build(n_env, max_step)
-    steps_per_s = time_rollout(env, algo, n_env)
+    env, algo = build(env_id, n_env, max_step, n_agents)
     n_chips = max(1, len(jax.devices()))
+
+    if mode == "update":
+        updates_per_s = time_update(env, algo, n_env)
+        print(
+            json.dumps(
+                {
+                    "metric": f"ppo_updates_per_s@{env_id}:{n_env}env",
+                    "value": round(updates_per_s, 4),
+                    "unit": "updates/s",
+                    "vs_baseline": round(updates_per_s, 4),
+                }
+            )
+        )
+        return
+
+    steps_per_s = time_rollout(env, algo, n_env)
     per_chip = steps_per_s / n_chips
 
     # CPU baseline: measured on this image (single CPU device, same jitted
-    # vmapped rollout, 2048 envs x 128 steps): 16,254 env steps/s.
-    # BASELINE.json target: >=50x CPU on one chip.
+    # vmapped rollout, MPETarget 2048 envs x 128 steps): 16,254 env steps/s.
     cpu_baseline = float(os.environ.get("BENCH_CPU_BASELINE", 16254.0))
     vs_baseline = per_chip / cpu_baseline
 
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_s_per_chip@2048env",
+                "metric": f"env_steps_per_s_per_chip@{env_id}:{n_env}env",
                 "value": round(per_chip, 1),
                 "unit": "steps/s/chip",
                 "vs_baseline": round(vs_baseline, 3),

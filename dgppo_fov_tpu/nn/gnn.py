@@ -51,58 +51,106 @@ class BlockGraphTransformer(nn.Module):
         N = spec.n_nodes
         H, D = self.n_heads, self.out_dim
 
-        q = nn.Dense(H * D, kernel_init=default_nn_init(), name="query")(x).reshape(N, H, D)
-        k = nn.Dense(H * D, kernel_init=default_nn_init(), name="key")(x).reshape(N, H, D)
-        v = nn.Dense(H * D, kernel_init=default_nn_init(), name="value")(x).reshape(N, H, D)
+        # One fused projection matmul for Q/K/V/update (4 dispatches -> 1);
+        # parameters are identical to four separate orthogonally-initialized
+        # Dense layers (each column block initialized independently).
+        def fused_init(key, shape, dtype):
+            import jax.random as jr
+
+            d_in = shape[0]
+            keys = jr.split(key, 4)
+            init = default_nn_init()
+            cols = [init(keys[i], (d_in, H * D), dtype) for i in range(3)]
+            cols.append(init(keys[3], (d_in, D), dtype))
+            return jnp.concatenate(cols, axis=1)
+
+        qkvu = nn.Dense(3 * H * D + D, kernel_init=fused_init, name="qkvu")(x)
+        q = qkvu[:, : H * D].reshape(N, H, D)
+        k = qkvu[:, H * D : 2 * H * D].reshape(N, H, D)
+        v = qkvu[:, 2 * H * D : 3 * H * D].reshape(N, H, D)
+        upd = qkvu[:, 3 * H * D :]  # (N, D)
 
         edge_proj = nn.Dense(H * D, use_bias=False, kernel_init=default_nn_init(), name="edge")
+
+        # One edge-projection matmul across all blocks (flatten + concat).
+        flat_edges = jnp.concatenate([e.reshape(-1, spec.edge_dim) for e in graph.edges], axis=0)
+        flat_eproj = edge_proj(flat_edges)  # (total_edges, H*D)
+        offsets = []
+        off = 0
+        for b in spec.blocks:
+            n_e = b.edge_shape[0] * b.edge_shape[1]
+            offsets.append((off, n_e))
+            off += n_e
 
         # Per-block logits and projected (V + E) messages. Dense blocks give
         # (nr, ns, ...); diagonal blocks give (nr, chunk, ...) where receiver
         # r's senders are its own contiguous chunk.
         logits = []
         vpe = []
-        for e_feats, mask, b in zip(graph.edges, graph.masks, spec.blocks):
+        for (e_off, e_cnt), mask, b in zip(offsets, graph.masks, spec.blocks):
             qr = q[b.recv_slice]  # (nr, H, D)
             ks = k[b.send_slice]
             vs = v[b.send_slice]
+            eb = flat_eproj[e_off : e_off + e_cnt].reshape(b.edge_shape + (H, D))
             if b.diag_chunk:
                 c = b.diag_chunk
                 ks = ks.reshape(b.n_recv, c, H, D)
                 vs = vs.reshape(b.n_recv, c, H, D)
-                eb = edge_proj(e_feats).reshape(b.n_recv, c, H, D)
                 lg = jnp.einsum("rhd,rchd->rch", qr, ks) / math.sqrt(D)
                 msg = vs + eb
             else:
-                eb = edge_proj(e_feats).reshape(b.n_recv, b.n_send, H, D)
                 lg = jnp.einsum("rhd,shd->rsh", qr, ks) / math.sqrt(D)
                 msg = vs[None, :, :, :] + eb
             lg = jnp.where(mask[..., None], lg, NEG_INF)
             logits.append(lg)
             vpe.append(msg)
 
-        # Pass 1: global per-receiver max across blocks (softmax stability).
-        m = jnp.full((N, H), NEG_INF)
-        for lg, b in zip(logits, spec.blocks):
-            r = b.recv_slice
-            m = m.at[r].set(jnp.maximum(m[r], lg.max(axis=1)))
-        m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+        # Softmax over each receiver's full incoming-edge set across blocks.
+        blocks = spec.blocks
+        same_recv = all(
+            b.recv_start == blocks[0].recv_start and b.n_recv == blocks[0].n_recv for b in blocks
+        )
+        if same_recv:
+            # Fast path (every env here: receivers are always the agents):
+            # concatenate blocks along the sender axis -> ONE masked softmax
+            # and ONE weighted-sum einsum; scatter once into the recv slice.
+            nr = blocks[0].n_recv
+            lg_cat = jnp.concatenate(logits, axis=1)  # (nr, S, H)
+            msg_cat = jnp.concatenate(
+                [
+                    m if m.shape[0] == nr else jnp.broadcast_to(m, (nr,) + m.shape[1:])
+                    for m in vpe
+                ],
+                axis=1,
+            )  # (nr, S, H, D)
+            m_max = lg_cat.max(axis=1)  # (nr, H)
+            m_safe = jnp.where(m_max <= NEG_INF / 2, 0.0, m_max)
+            p = jnp.exp(lg_cat - m_safe[:, None, :])
+            p = jnp.where(lg_cat <= NEG_INF / 2, 0.0, p)
+            z = p.sum(axis=1)  # (nr, H)
+            s = jnp.einsum("rsh,rshd->rhd", p, msg_cat)
+            aggr_r = jnp.where(z[..., None] > 0, s / jnp.maximum(z[..., None], 1e-38), 0.0)
+            aggr = jnp.zeros((N, H, D)).at[blocks[0].recv_slice].set(aggr_r)
+        else:
+            # General path: two-pass accumulation with static-slice updates.
+            m = jnp.full((N, H), NEG_INF)
+            for lg, b in zip(logits, blocks):
+                r = b.recv_slice
+                m = m.at[r].set(jnp.maximum(m[r], lg.max(axis=1)))
+            m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
 
-        # Pass 2: exp-sum denominators and weighted message numerators.
-        z = jnp.zeros((N, H))
-        s = jnp.zeros((N, H, D))
-        for lg, msg, mask, b in zip(logits, vpe, graph.masks, spec.blocks):
-            r = b.recv_slice
-            p = jnp.exp(lg - m_safe[r][:, None, :])  # (nr, ns, H)
-            p = jnp.where(mask[..., None], p, 0.0)
-            z = z.at[r].add(p.sum(axis=1))
-            s = s.at[r].add(jnp.einsum("rsh,rshd->rhd", p, msg))
+            z = jnp.zeros((N, H))
+            s = jnp.zeros((N, H, D))
+            for lg, msg, mask, b in zip(logits, vpe, graph.masks, blocks):
+                r = b.recv_slice
+                p = jnp.exp(lg - m_safe[r][:, None, :])
+                p = jnp.where(mask[..., None], p, 0.0)
+                z = z.at[r].add(p.sum(axis=1))
+                s = s.at[r].add(jnp.einsum("rsh,rshd->rhd", p, msg))
+            aggr = jnp.where(z[..., None] > 0, s / jnp.maximum(z[..., None], 1e-38), 0.0)
 
-        aggr = jnp.where(z[..., None] > 0, s / jnp.maximum(z[..., None], 1e-38), 0.0)
         aggr = aggr.mean(axis=1)  # mean over heads -> (N, D)
-
-        out = nn.Dense(D, kernel_init=default_nn_init(), name="update")(x)
-        return self.act(out + aggr)
+        return self.act(upd + aggr)
 
 
 class GraphTransformerGNN(nn.Module):

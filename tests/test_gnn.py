@@ -61,9 +61,12 @@ def oracle_layer(params, graph, n_heads, out_dim):
 
     N = spec.n_nodes
     H, D = n_heads, out_dim
-    q = dense("query", graph.nodes).reshape(N, H, D)
-    k = dense("key", graph.nodes).reshape(N, H, D)
-    v = dense("value", graph.nodes).reshape(N, H, D)
+    # The implementation fuses Q/K/V/update into one projection; split it.
+    qkvu = dense("qkvu", graph.nodes)
+    q = qkvu[:, : H * D].reshape(N, H, D)
+    k = qkvu[:, H * D : 2 * H * D].reshape(N, H, D)
+    v = qkvu[:, 2 * H * D : 3 * H * D].reshape(N, H, D)
+    upd = qkvu[:, 3 * H * D :]
 
     # Flatten blocks to an edge list (recv, send, feat) keeping only masked-in.
     recvs, sends, feats = [], [], []
@@ -97,7 +100,6 @@ def oracle_layer(params, graph, n_heads, out_dim):
             msg[r] += msgs[idx]
         msg = jnp.asarray(msg)
 
-    upd = dense("update", graph.nodes)
     return jax.nn.relu(upd + msg)
 
 
@@ -115,6 +117,28 @@ def test_block_transformer_matches_segment_oracle(seed):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-2, atol=5e-4)
 
 
+def test_general_path_mixed_receivers():
+    """Blocks with different receiver ranges exercise the multi-pass path."""
+    spec = GraphSpec(
+        n_nodes=8,
+        node_dim=7,
+        state_dim=4,
+        edge_dim=4,
+        types=(TypeSpec(0, 0, 3), TypeSpec(1, 3, 3), TypeSpec(2, 6, 2)),
+        blocks=(
+            BlockSpec("aa", 0, 3, 0, 3),
+            BlockSpec("ga", 3, 3, 0, 3),  # goals also receive
+            BlockSpec("ao", 0, 3, 6, 2),
+        ),
+    )
+    graph = _make_graph(spec, jax.random.PRNGKey(7))
+    layer = BlockGraphTransformer(n_heads=2, out_dim=8)
+    params = layer.init(jax.random.PRNGKey(0), graph)
+    out = layer.apply(params, graph)
+    ref = oracle_layer(params, graph, n_heads=2, out_dim=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-2, atol=5e-4)
+
+
 def test_zero_incoming_edges_gives_zero_message():
     spec = _make_spec()
     graph = _make_graph(spec, jax.random.PRNGKey(3))
@@ -126,8 +150,9 @@ def test_zero_incoming_edges_gives_zero_message():
     params = layer.init(jax.random.PRNGKey(0), graph)
     out = layer.apply(params, graph_nomask)
 
-    w = params["params"]["update"]["kernel"]
-    b = params["params"]["update"]["bias"]
+    H, D = 3, 16
+    w = params["params"]["qkvu"]["kernel"][:, 3 * H * D :]
+    b = params["params"]["qkvu"]["bias"][3 * H * D :]
     expected = jax.nn.relu(graph.nodes @ w + b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-6, atol=1e-6)
     assert not np.any(np.isnan(np.asarray(out)))
