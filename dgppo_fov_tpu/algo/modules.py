@@ -62,8 +62,19 @@ class TanhNormal(nn.Module):
         scaler_init = scaled_init(default_nn_init(), self.scale_final)
         feats_scaled = nn.Dense(64, kernel_init=scaler_init, name="ScaleHid")(x)
 
-        means = nn.Dense(self.nu, kernel_init=default_nn_init(), name="OutputDenseMean")(feats_scaled)
-        stds_trans = nn.Dense(self.nu, kernel_init=default_nn_init(), name="OutputDenseStdTrans")(feats_scaled)
+        # Mean and std heads fused into one matmul; column blocks initialized
+        # independently (identical distribution to two separate Dense layers).
+        nu = self.nu
+
+        def fused_head_init(key, shape, dtype):
+            k1, k2 = jax.random.split(key)
+            init = default_nn_init()
+            return jnp.concatenate(
+                [init(k1, (shape[0], nu), dtype), init(k2, (shape[0], nu), dtype)], axis=1
+            )
+
+        out = nn.Dense(2 * nu, kernel_init=fused_head_init, name="OutputDenseMeanStd")(feats_scaled)
+        means, stds_trans = out[..., :nu], out[..., nu:]
         std_init_inv = float(np.log(np.exp(self.std_dev_init) - 1.0))
         stds = jax.nn.softplus(stds_trans + std_init_inv) + self.std_dev_min
         return TanhNormalDistribution(means, stds), rnn_state

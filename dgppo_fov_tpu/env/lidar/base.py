@@ -226,22 +226,22 @@ class LidarEnv(MultiAgentEnv, ABC):
         self, state: LidarEnvState, lidar_data: Optional[Pos]
     ) -> Tuple[Tuple[Array, ...], Tuple[Array, ...]]: ...
 
+    def _indicator(self) -> jnp.ndarray:
+        """Static per-node one-hot type indicator (lidar_env/base.py:243-247:
+        agent col state_dim+2, goal col state_dim+1, hit col state_dim)."""
+        n, g, h = self.num_agents, self.num_goals, self.n_hits
+        ind = np.zeros((n + g + h, 3), dtype=np.float32)
+        ind[:n, 2] = 1.0
+        ind[n : n + g, 1] = 1.0
+        if h > 0:
+            ind[n + g :, 0] = 1.0
+        return jnp.asarray(ind)
+
     def get_graph(self, state: LidarEnvState, lidar_data: Optional[Pos] = None) -> BlockGraph:
         spec = self.graph_spec
-        n, g, h = self.num_agents, self.num_goals, self.n_hits
+        h = self.n_hits
 
         flat_hits = merge01(lidar_data) if lidar_data is not None else None
-
-        node_feats = jnp.zeros((spec.n_nodes, self.node_dim))
-        node_feats = node_feats.at[:n, : self.state_dim].set(state.agent)
-        node_feats = node_feats.at[n : n + g, : self.state_dim].set(state.goal)
-        if flat_hits is not None:
-            node_feats = node_feats.at[n + g :, :2].set(flat_hits)
-        # Indicators (lidar_env/base.py:243-247).
-        node_feats = node_feats.at[:n, self.state_dim + 2].set(1.0)
-        node_feats = node_feats.at[n : n + g, self.state_dim + 1].set(1.0)
-        if h > 0:
-            node_feats = node_feats.at[n + g :, self.state_dim].set(1.0)
 
         states = jnp.concatenate([state.agent, state.goal], axis=0)
         if flat_hits is not None:
@@ -249,6 +249,11 @@ class LidarEnv(MultiAgentEnv, ABC):
                 [flat_hits, jnp.zeros((h, self.state_dim - flat_hits.shape[1]))], axis=1
             )
             states = jnp.concatenate([states, hit_states], axis=0)
+
+        # node_feats = [states | indicator]; indicator is a compile-time
+        # constant (lidar_env/base.py:234-247 built the same content with
+        # scatter updates).
+        node_feats = jnp.concatenate([states, self._indicator()], axis=1)
 
         edges, masks = self.edge_blocks(state, flat_hits)
         return build_graph(spec, node_feats, states, edges, masks, state)

@@ -16,6 +16,7 @@ from abc import ABC, abstractmethod
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import jax.random as jr
 
@@ -211,20 +212,27 @@ class MPE(MultiAgentEnv, ABC):
     def edge_blocks(self, state: MPEEnvState) -> Tuple[Tuple[Array, ...], Tuple[Array, ...]]:
         """Return (edges, masks) tuples matching graph_spec.blocks order."""
 
+    def _indicator(self) -> jnp.ndarray:
+        """Static per-node one-hot type indicator (reference mpe/base.py:222-225:
+        agent col 6, goal col 5, obs col 4 — i.e. cols state_dim + [2,1,0])."""
+        n, g, o = self.num_agents, self.num_goals, self.n_obs
+        ind = np.zeros((n + g + o, 3), dtype=np.float32)
+        ind[:n, 2] = 1.0
+        ind[n : n + g, 1] = 1.0
+        if o > 0:
+            ind[n + g :, 0] = 1.0
+        return jnp.asarray(ind)
+
     def get_graph(self, env_state: MPEEnvState) -> BlockGraph:
         spec = self.graph_spec
-        n, g, o = self.num_agents, self.num_goals, self.n_obs
+        o = self.n_obs
 
         states = jnp.concatenate(
             [env_state.agent, env_state.goal] + ([env_state.obs] if o > 0 else []), axis=0
         )
-        node_feats = jnp.zeros((spec.n_nodes, self.node_dim))
-        node_feats = node_feats.at[:, : self.state_dim].set(states)
-        # Indicators (reference mpe/base.py:222-225): agent col 6, goal col 5, obs col 4.
-        node_feats = node_feats.at[:n, 6].set(1.0)
-        node_feats = node_feats.at[n : n + g, 5].set(1.0)
-        if o > 0:
-            node_feats = node_feats.at[n + g :, 4].set(1.0)
+        # node_feats = [states | indicator]; the indicator block is a
+        # compile-time constant, so this is a single concat per step.
+        node_feats = jnp.concatenate([states, self._indicator()], axis=1)
 
         edges, masks = self.edge_blocks(env_state)
         return build_graph(spec, node_feats, states, edges, masks, env_state)
