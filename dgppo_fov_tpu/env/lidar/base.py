@@ -160,16 +160,34 @@ class LidarEnv(MultiAgentEnv, ABC):
     def get_lidar_data(self, states: State, obstacles) -> Optional[Array]:
         if self.n_obs == 0:
             return None
-        get_lidar_vmap = jax_vmap(
-            ft.partial(
-                get_lidar,
-                obstacles=obstacles,
-                num_beams=self._params["n_rays"],
-                sense_range=self._params["comm_radius"],
-                max_returns=self.top_k,
+        if isinstance(obstacles, Rectangle):
+            # Beam-vectorized fast path (ops/raycast.py): segment quantities
+            # computed once per agent instead of per beam.
+            from ...ops.raycast import lidar_rectangles
+            from ..utils import inside_obstacles
+
+            agent_pos = states[:, :2]
+            is_in = inside_obstacles(agent_pos, obstacles)
+            lidar_data = jax_vmap(
+                ft.partial(
+                    lidar_rectangles,
+                    points=obstacles.points,
+                    num_beams=self._params["n_rays"],
+                    sense_range=self._params["comm_radius"],
+                    max_returns=self.top_k,
+                )
+            )(agent_pos, is_inside=is_in)
+        else:
+            get_lidar_vmap = jax_vmap(
+                ft.partial(
+                    get_lidar,
+                    obstacles=obstacles,
+                    num_beams=self._params["n_rays"],
+                    sense_range=self._params["comm_radius"],
+                    max_returns=self.top_k,
+                )
             )
-        )
-        lidar_data = get_lidar_vmap(states[:, :2])
+            lidar_data = get_lidar_vmap(states[:, :2])
         assert lidar_data.shape == (self.num_agents, self.top_k, 2)
         return lidar_data
 

@@ -85,7 +85,10 @@ def raytracing(starts: Pos, ends: Pos, obstacles, max_returns: int) -> Pos:
         alphas = jax.vmap(ray_any)(starts, ends)
         alphas = alphas * (1 - is_in)
 
-    order = jnp.argsort(alphas)[:max_returns]
+    # top_k instead of argsort (the reference's env/utils.py:132): same
+    # selection and same index-order on ties (both prefer lower beam index),
+    # but O(n k) and TPU-native instead of a full sort.
+    _, order = jax.lax.top_k(-alphas, max_returns)
     hits = starts + (ends - starts) * alphas[..., None]
     return hits[order]
 

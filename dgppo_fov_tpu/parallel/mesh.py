@@ -65,16 +65,29 @@ def replicated_sharding(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
 def shard_batch(x, mesh: Optional[Mesh]):
     """Place a batch-leading pytree on the mesh, sharded over the env axis.
 
-    Leaves whose batch dim does not divide the mesh stay unsharded.
+    Single-process: jax.device_put with NamedSharding. Multi-host (the mesh
+    spans devices of several processes): each process passes its *local*
+    shard of the batch and the global array is assembled with
+    jax.make_array_from_process_local_data. Leaves whose batch dim does not
+    divide the mesh stay replicated.
     """
     if mesh is None:
         return x
     n_dev = mesh.devices.size
     sharding = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
+    n_proc = jax.process_count()
+    pid = jax.process_index()
 
     def put(leaf):
         if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] % n_dev == 0:
+            if n_proc > 1:
+                # Every process computes the same *global* batch (shared PRNG
+                # seed), keeps its contiguous slice, and contributes it as
+                # process-local data.
+                per_proc = leaf.shape[0] // n_proc
+                local = leaf[pid * per_proc : (pid + 1) * per_proc]
+                return jax.make_array_from_process_local_data(sharding, local)
             return jax.device_put(leaf, sharding)
         return jax.device_put(leaf, rep)
 
