@@ -24,6 +24,42 @@ def save_anim(ani, path: pathlib.Path):
         ani.save(str(gif_path), writer="pillow", fps=15)
 
 
+def get_f1tenth_body(center, heading, r: float) -> np.ndarray:
+    """Car-body polygon corners for bicycle agents.
+
+    Parity: reference env/plot.py `get_f1tenth_body` — a rectangle of
+    length 2r / width r centered at `center`, rotated to `heading`.
+    """
+    length, width = 2.0 * r, r
+    corners = np.array(
+        [[-length / 2, -width / 2], [length / 2, -width / 2],
+         [length / 2, width / 2], [-length / 2, width / 2]]
+    )
+    c, s = np.cos(heading), np.sin(heading)
+    rot = np.array([[c, -s], [s, c]])
+    return corners @ rot.T + np.asarray(center)
+
+
+class MutablePatchCollection:
+    """Patch collection whose members can be moved between frames.
+
+    Parity: reference utils/utils.py MutablePatchCollection — a thin helper
+    used by the animation loops; here a minimal list wrapper that re-syncs
+    artist state.
+    """
+
+    def __init__(self, patches):
+        self.patches = list(patches)
+
+    def add_to(self, ax):
+        for p in self.patches:
+            ax.add_patch(p)
+        return self.patches
+
+    def __iter__(self):
+        return iter(self.patches)
+
+
 def _setup_axes(side_length, dpi):
     import matplotlib.pyplot as plt
 
