@@ -374,9 +374,21 @@ class InforMARL(Algorithm):
         with open(os.path.join(model_dir, "Vl.pkl"), "wb") as f:
             pickle.dump(self.Vl_train_state.params, f)
 
+    @staticmethod
+    def _load_pkl(path: str, name: str):
+        from ..utils.ref_remap import looks_like_reference_params
+
+        with open(os.path.join(path, name), "rb") as f:
+            params = pickle.load(f)
+        if looks_like_reference_params(params):
+            raise ValueError(
+                f"{os.path.join(path, name)} uses the ORIGINAL reference's param "
+                "layout. Evaluate it with `test.py --load-reference`, or remap it "
+                "with dgppo_fov_tpu.utils.ref_remap.load_reference_checkpoint()."
+            )
+        return params
+
     def load(self, load_dir: str, step: int):
         path = os.path.join(load_dir, str(step))
-        with open(os.path.join(path, "actor.pkl"), "rb") as f:
-            self.policy_train_state = self.policy_train_state.replace(params=pickle.load(f))
-        with open(os.path.join(path, "Vl.pkl"), "rb") as f:
-            self.Vl_train_state = self.Vl_train_state.replace(params=pickle.load(f))
+        self.policy_train_state = self.policy_train_state.replace(params=self._load_pkl(path, "actor.pkl"))
+        self.Vl_train_state = self.Vl_train_state.replace(params=self._load_pkl(path, "Vl.pkl"))

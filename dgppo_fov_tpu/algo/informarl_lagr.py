@@ -267,9 +267,6 @@ class InforMARLLagr(InforMARL):
 
     def load(self, load_dir: str, step: int):
         path = os.path.join(load_dir, str(step))
-        with open(os.path.join(path, "actor.pkl"), "rb") as f:
-            self.policy_train_state = self.policy_train_state.replace(params=pickle.load(f))
-        with open(os.path.join(path, "Vl.pkl"), "rb") as f:
-            self.Vl_train_state = self.Vl_train_state.replace(params=pickle.load(f))
-        with open(os.path.join(path, "Vh.pkl"), "rb") as f:
-            self.Vh_train_state = self.Vh_train_state.replace(params=pickle.load(f))
+        self.policy_train_state = self.policy_train_state.replace(params=self._load_pkl(path, "actor.pkl"))
+        self.Vl_train_state = self.Vl_train_state.replace(params=self._load_pkl(path, "Vl.pkl"))
+        self.Vh_train_state = self.Vh_train_state.replace(params=self._load_pkl(path, "Vh.pkl"))

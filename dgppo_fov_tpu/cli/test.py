@@ -33,6 +33,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--env", type=str, default=None)
     parser.add_argument("--offset", type=int, default=0)
     parser.add_argument("--dpi", type=int, default=100)
+    parser.add_argument(
+        "--load-reference",
+        action="store_true",
+        default=False,
+        help="Treat --path as a log dir of the ORIGINAL reference "
+        "(Tw6249/dgppo_fov): its pickled models/<step>/{actor,Vl,Vh}.pkl "
+        "are remapped into this framework's fused layouts "
+        "(utils/ref_remap.py) and evaluated here.",
+    )
     return parser
 
 
@@ -104,7 +113,17 @@ def test(args):
         rnn_layers=_cfg_get(config, "rnn_layers", 1),
         use_lstm=_cfg_get(config, "use_lstm", False),
     )
-    algo.load(model_path, step)
+    if args.load_reference:
+        from ..utils.ref_remap import load_reference_checkpoint
+
+        migrated = load_reference_checkpoint(os.path.join(model_path, str(step)))
+        algo.policy_train_state = algo.policy_train_state.replace(params=migrated["policy"])
+        if "Vl" in migrated:
+            algo.Vl_train_state = algo.Vl_train_state.replace(params=migrated["Vl"])
+        if "Vh" in migrated and hasattr(algo, "Vh_train_state"):
+            algo.Vh_train_state = algo.Vh_train_state.replace(params=migrated["Vh"])
+    else:
+        algo.load(model_path, step)
 
     if args.stochastic:
         def act_fn(graph, rnn_state, key):
