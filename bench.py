@@ -39,6 +39,7 @@ def build(env_id: str, n_env: int, max_step: int, n_agents: int):
         rnn_step=16,
         seed=0,
         train_steps=100,
+        compute_dtype=os.environ.get("BENCH_DTYPE") or None,
     )
     return env, algo
 

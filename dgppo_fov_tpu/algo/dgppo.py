@@ -100,6 +100,7 @@ class DGPPO(InforMARLLagr):
             decompose=True,
             use_global_info=False,
             n_heads=3,
+            compute_dtype=self.compute_dtype,
         )
         Vh_key, self.key = jr.split(self.key)
         Vh_params = self.Vh.init(Vh_key, self.nominal_graph, self.init_rnn_state)

@@ -69,6 +69,7 @@ class InforMARL(Algorithm):
         use_lstm: bool = False,
         cost_schedule: bool = False,
         train_steps: int = 100_000,
+        compute_dtype=None,
         **kwargs,
     ):
         super().__init__(env=env, node_dim=node_dim, edge_dim=edge_dim, action_dim=action_dim, n_agents=n_agents)
@@ -91,6 +92,7 @@ class InforMARL(Algorithm):
         self.rnn_step = rnn_step
         self.use_lstm = use_lstm
         self.cost_schedule = cost_schedule
+        self.compute_dtype = compute_dtype
 
         self.nominal_graph = nominal_graph(env.graph_spec)
 
@@ -105,6 +107,7 @@ class InforMARL(Algorithm):
             gnn_layers=actor_gnn_layers,
             gnn_out_dim=64,
             use_lstm=use_lstm,
+            compute_dtype=compute_dtype,
         )
 
         key = jr.PRNGKey(seed)
@@ -129,6 +132,7 @@ class InforMARL(Algorithm):
             gnn_out_dim=64,
             use_lstm=use_lstm,
             decompose=False,
+            compute_dtype=compute_dtype,
         )
         rnn_state_key, key = jr.split(key)
         self.init_Vl_rnn_state = self.Vl.init_rnn_state(rnn_state_key, n_slots=1)

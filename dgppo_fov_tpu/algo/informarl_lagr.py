@@ -85,6 +85,7 @@ class InforMARLLagr(InforMARL):
             use_lstm=use_lstm,
             decompose=True,
             use_global_info=True,
+            compute_dtype=self.compute_dtype,
         )
         rnn_state_key, self.key = jr.split(self.key)
         self.init_Vh_rnn_state = self.Vh.init_rnn_state(rnn_state_key, n_slots=n_agents)

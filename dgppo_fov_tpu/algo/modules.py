@@ -27,6 +27,28 @@ from ..nn.rnn import RNN
 from ..utils.typing import Action, Array, Params, PRNGKey
 
 
+def _resolve_dtype(compute_dtype):
+    """None/'float32' -> None (no casting); 'bfloat16'/'bf16' -> jnp.bfloat16."""
+    if compute_dtype in (None, "float32", "fp32", jnp.float32):
+        return None
+    if compute_dtype in ("bfloat16", "bf16", jnp.bfloat16):
+        return jnp.bfloat16
+    raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
+
+
+def _cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree (params, graphs, carries) to dtype.
+
+    Mixed-precision boundary: master params stay f32 in the TrainStates; the
+    cast happens inside the loss/apply, so gradients accumulate back in f32.
+    Bool masks and integer fields are untouched.
+    """
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 class PolicyNet(nn.Module):
     gnn_cls: Callable[[], nn.Module]
     head_cls: Callable[[], nn.Module]
@@ -94,6 +116,7 @@ class PPOPolicy:
         gnn_layers: int = 1,
         gnn_out_dim: int = 16,
         use_lstm: bool = False,
+        compute_dtype=None,
     ):
         self.node_dim = node_dim
         self.edge_dim = edge_dim
@@ -103,6 +126,7 @@ class PPOPolicy:
         self.use_rnn = use_rnn
         self.use_lstm = use_lstm
         self.rnn_layers = rnn_layers
+        self.compute_dtype = _resolve_dtype(compute_dtype)
 
         gnn = ft.partial(
             GraphTransformerGNN, msg_dim=32, out_dim=gnn_out_dim, n_heads=3, n_layers=gnn_layers
@@ -140,14 +164,30 @@ class PPOPolicy:
     def init(self, key: PRNGKey, graph: BlockGraph, rnn_state: Array) -> Params:
         return self.dist.init(key, graph, rnn_state)
 
+    def _apply(self, params: Params, graph: BlockGraph, rnn_state: Array):
+        """Network apply with optional bf16 compute (f32 master params; the
+        cast sits inside the loss so gradients accumulate in f32). The
+        distribution parameters and new carry are cast back to f32 so all
+        sampling/log-prob/loss math stays f32."""
+        dt = self.compute_dtype
+        if dt is None:
+            return self.dist.apply(params, graph, rnn_state)
+        dist, new_rnn = self.dist.apply(
+            _cast_floats(params, dt), _cast_floats(graph, dt), _cast_floats(rnn_state, dt)
+        )
+        dist = TanhNormalDistribution(
+            dist.mean.astype(jnp.float32), dist.std.astype(jnp.float32), dist.threshold
+        )
+        return dist, new_rnn.astype(jnp.float32)
+
     def get_action(self, params: Params, graph: BlockGraph, rnn_state: Array) -> Tuple[Action, Array]:
-        dist, rnn_state = self.dist.apply(params, graph, rnn_state)
+        dist, rnn_state = self._apply(params, graph, rnn_state)
         return dist.mode(), rnn_state
 
     def sample_action(
         self, params: Params, graph: BlockGraph, rnn_state: Array, key: PRNGKey
     ) -> Tuple[Action, Array, Array]:
-        dist, rnn_state = self.dist.apply(params, graph, rnn_state)
+        dist, rnn_state = self._apply(params, graph, rnn_state)
         action = dist.sample(seed=key)
         log_pi = dist.log_prob(action)
         return action, log_pi, rnn_state
@@ -155,7 +195,7 @@ class PPOPolicy:
     def eval_action(
         self, params: Params, graph: BlockGraph, action: Action, rnn_state: Array, key: PRNGKey
     ) -> Tuple[Array, Array, Array]:
-        dist, rnn_state = self.dist.apply(params, graph, rnn_state)
+        dist, rnn_state = self._apply(params, graph, rnn_state)
         log_pi = dist.log_prob(action)
         entropy = dist.entropy(seed=key)
         return log_pi, entropy, rnn_state
@@ -220,6 +260,7 @@ class ValueNet:
         decompose: bool = False,
         use_global_info: bool = False,
         n_heads: int = 3,
+        compute_dtype=None,
     ):
         self.n_agents = n_agents
         self.n_out = n_out
@@ -228,6 +269,7 @@ class ValueNet:
         self.use_rnn = use_rnn
         self.use_lstm = use_lstm
         self.rnn_layers = rnn_layers
+        self.compute_dtype = _resolve_dtype(compute_dtype)
 
         gnn = ft.partial(
             GraphTransformerGNN, msg_dim=32, out_dim=gnn_out_dim, n_heads=n_heads, n_layers=gnn_layers
@@ -272,4 +314,10 @@ class ValueNet:
         return self.net.init(key, graph, rnn_state)
 
     def get_value(self, params: Params, graph: BlockGraph, rnn_state: Array):
-        return self.net.apply(params, graph, rnn_state)
+        dt = self.compute_dtype
+        if dt is None:
+            return self.net.apply(params, graph, rnn_state)
+        value, new_rnn = self.net.apply(
+            _cast_floats(params, dt), _cast_floats(graph, dt), _cast_floats(rnn_state, dt)
+        )
+        return value.astype(jnp.float32), new_rnn.astype(jnp.float32)

@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-cbf-schedule", action="store_true", default=False)
     parser.add_argument("--cost-schedule", action="store_true", default=False)
     parser.add_argument("--no-rnn", action="store_true", default=False)
+    parser.add_argument(
+        "--bf16",
+        action="store_true",
+        default=False,
+        help="bfloat16 network compute (f32 master params/optimizer; the "
+        "TPU-native mixed-precision mode). Off by default for bit-parity "
+        "with the reference.",
+    )
     # checkpoint resume (fork-added; reference train.py:86-90,176-179)
     parser.add_argument("--load-checkpoint", type=str, default=None)
     parser.add_argument("--load-step", type=int, default=None)
@@ -131,6 +139,7 @@ def train(args):
         train_steps=args.steps,
         cbf_schedule=not args.no_cbf_schedule,
         cost_schedule=args.cost_schedule,
+        compute_dtype="bfloat16" if args.bf16 else None,
     )
 
     if args.load_checkpoint:
