@@ -19,6 +19,13 @@ import time
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
 import jax
+
+# BENCH_PLATFORM=cpu forces the CPU backend (for measuring CPU baselines;
+# env vars alone don't stick on this image — sitecustomize prepends an
+# experimental TPU platform).
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 import jax.random as jr
 
 
@@ -44,8 +51,10 @@ def build(env_id: str, n_env: int, max_step: int, n_agents: int):
     return env, algo
 
 
-def time_rollout(env, algo, n_env: int, iters: int = 3) -> float:
+def time_rollout(env, algo, n_env: int, iters: int = None) -> float:
     """Returns env steps/s for the jitted vmapped collect."""
+    if iters is None:
+        iters = int(os.environ.get("BENCH_ITERS", 3))
     keys = jr.split(jr.PRNGKey(0), n_env)
     rollout = algo.collect(algo.params, keys)  # compile
     jax.block_until_ready(rollout.rewards)
@@ -105,9 +114,24 @@ def main():
     steps_per_s = time_rollout(env, algo, n_env)
     per_chip = steps_per_s / n_chips
 
-    # CPU baseline: measured on this image (single CPU device, same jitted
-    # vmapped rollout, MPETarget 2048 envs x 128 steps): 16,254 env steps/s.
-    cpu_baseline = float(os.environ.get("BENCH_CPU_BASELINE", 16254.0))
+    # Per-env CPU baselines measured on this image (single CPU device, same
+    # jitted vmapped rollout, 2048 envs x 128 steps). The >=50x target
+    # compares TPU vs CPU on the SAME workload (BASELINE.md).
+    CPU_BASELINES = {
+        "MPETarget": 16254.0,
+        "MPESpread": 16359.5,
+        "MPELine": 9625.3,
+        "LidarSpread": 7989.3,
+        "LidarTarget": 7989.3,
+        "LidarLine": 7989.3,
+        "LidarBicycleTarget": 4458.8,
+        "LidarOmniTarget": 7139.8,
+        "VMASReverseTransport": 39748.1,
+        "VMASWheel": 48240.9,
+    }
+    cpu_baseline = float(
+        os.environ.get("BENCH_CPU_BASELINE", CPU_BASELINES.get(env_id, 16254.0))
+    )
     vs_baseline = per_chip / cpu_baseline
 
     print(
