@@ -1,0 +1,56 @@
+"""Opt-in bfloat16 compute mode: outputs stay finite and close to f32, and a
+full DGPPO update step runs (mixed precision at the apply boundary — see
+algo/modules.py `_cast_floats`)."""
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+
+def _make(compute_dtype):
+    from dgppo_fov_tpu.algo import make_algo
+    from dgppo_fov_tpu.env import make_env
+
+    env = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+    algo = make_algo(
+        algo="dgppo",
+        env=env,
+        node_dim=env.node_dim,
+        edge_dim=env.edge_dim,
+        state_dim=env.state_dim,
+        action_dim=env.action_dim,
+        n_agents=3,
+        batch_size=16,
+        rnn_step=4,
+        seed=0,
+        train_steps=10,
+        compute_dtype=compute_dtype,
+    )
+    return env, algo
+
+
+def test_bf16_policy_close_to_f32():
+    env32, a32 = _make(None)
+    env16, a16 = _make("bfloat16")
+    graph = env32.reset(jr.PRNGKey(0)).without_env_states()
+    act32, rnn32 = a32.policy.get_action(a32.params["policy"], graph, a32.init_rnn_state)
+    act16, rnn16 = a16.policy.get_action(a16.params["policy"], graph, a16.init_rnn_state)
+    assert act16.dtype == jnp.float32
+    assert rnn16.dtype == jnp.float32
+    # Same seed => same f32 master params; bf16 compute should be close.
+    np.testing.assert_allclose(np.asarray(act32), np.asarray(act16), atol=3e-2)
+    assert np.isfinite(np.asarray(act16)).all()
+
+    vl32, _ = a32.Vl.get_value(a32.params["Vl"], graph, a32.init_Vl_rnn_state)
+    vl16, _ = a16.Vl.get_value(a16.params["Vl"], graph, a16.init_Vl_rnn_state)
+    assert vl16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(vl32), np.asarray(vl16), atol=3e-2)
+
+
+def test_bf16_full_update_runs():
+    _, algo = _make("bfloat16")
+    rollout = algo.collect(algo.params, jr.split(jr.PRNGKey(1), 4))
+    info = algo.update(rollout, step=0)
+    leaves = jax.tree_util.tree_leaves(info)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
+    assert float(info["policy/has_nan"]) == 0.0
