@@ -12,9 +12,22 @@ Usage:
 """
 import argparse
 import json
+import os
+import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
+
+# SCALE_CPU_DEVICES=N forces a virtual N-device CPU backend (mechanism
+# validation; virtual devices share cores so efficiency numbers there are
+# not meaningful). Must run before backend init — env vars alone don't
+# stick on this image (sitecustomize prepends an experimental TPU platform).
+if os.environ.get("SCALE_CPU_DEVICES"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", int(os.environ["SCALE_CPU_DEVICES"]))
+
 import jax.random as jr
 
 
