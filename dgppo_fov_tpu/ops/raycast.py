@@ -15,9 +15,15 @@ but restructured for the TPU:
  - top-k selection uses lax.top_k instead of a full argsort.
 
 A Pallas kernel (`raytrace_alphas_pallas`) implements the same contraction
-with explicit VMEM staging for large batch counts; the XLA path is the
-default (the op fuses well) and both are tested against each other and
-against the per-beam formulation.
+with explicit VMEM staging; it is validated in interpret mode and NOT used
+on hardware. Measured on the real chip, the XLA path is within ~2x of the
+HBM-bandwidth ceiling for this op, and Mosaic (as shipped on this platform)
+cannot express the kernel efficiently: an unrolled segment loop explodes
+compile time (~145 s per segment of body complexity), `dynamic_slice` is not
+implemented for TPU lowering, and `ref[:, pl.ds(s, 1)]` requires the dynamic
+lane index to be a provable multiple of 128 — while this op's natural minor
+dimensions are S=32 segments / R=32 beams. The gather-free top-k selection
+below captures the win that mattered (TPU gathers were ~2x this op's cost).
 """
 import functools as ft
 from typing import Tuple
