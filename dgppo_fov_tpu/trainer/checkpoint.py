@@ -88,5 +88,10 @@ def load_checkpoint(algo, ckpt_dir: str, step: int) -> int:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        state = ckptr.restore(os.path.abspath(path))
+        # Restore against the live state as template: without it Orbax
+        # returns plain nested dicts, losing the optax state structure
+        # (ApplyIfFiniteState/ScaleByAdamState namedtuples), and the next
+        # apply_gradients crashes on e.g. `.inner_state`.
+        template = gather_full_state(algo, 0)
+        state = ckptr.restore(os.path.abspath(path), item=template)
     return restore_full_state(algo, state)
