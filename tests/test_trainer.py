@@ -89,3 +89,49 @@ def test_cost_clip_quirks():
     g2 = lidar.get_graph(st._replace(agent=agent), lidar_data)
     cost = np.asarray(lidar.get_cost(g2))
     assert cost.max() <= 1.0  # Lidar: clipped to [-1, 1]
+
+
+def test_full_checkpoint_roundtrip_restores_structure(tmp_path):
+    """save_checkpoint -> load_checkpoint preserves the optax state structure
+    (regression: Orbax restore without a target returned plain dicts and the
+    next apply_gradients crashed on ApplyIfFiniteState.inner_state)."""
+    import jax.random as jr
+
+    from dgppo_fov_tpu.trainer.checkpoint import load_checkpoint, save_checkpoint
+
+    env = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+
+    def build():
+        return make_algo(
+            algo="dgppo",
+            env=env,
+            node_dim=env.node_dim,
+            edge_dim=env.edge_dim,
+            state_dim=env.state_dim,
+            action_dim=env.action_dim,
+            n_agents=3,
+            batch_size=16,
+            rnn_step=4,
+            seed=0,
+            train_steps=4,
+        )
+
+    algo = build()
+    rollout = algo.collect(algo.params, jr.split(jr.PRNGKey(0), 4))
+    algo.update(rollout, step=0)  # advance optimizer state past init
+    path = save_checkpoint(algo, str(tmp_path / "ckpt"), step=1)
+    assert os.path.exists(path) or os.path.isdir(path.rstrip("/"))
+
+    algo2 = build()
+    step = load_checkpoint(algo2, str(tmp_path / "ckpt"), step=1)
+    assert step == 1
+    # Structure preserved: namedtuple-typed opt state, same leaf values.
+    assert type(algo2.policy_train_state.opt_state) is type(algo.policy_train_state.opt_state)
+    a = jax.tree_util.tree_leaves(algo.params["policy"])
+    b = jax.tree_util.tree_leaves(algo2.params["policy"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # The real regression check: training continues after restore.
+    rollout2 = algo2.collect(algo2.params, jr.split(jr.PRNGKey(1), 4))
+    info = algo2.update(rollout2, step=1)
+    assert np.isfinite(float(info["policy/loss"]))
