@@ -37,38 +37,84 @@ from .mlp import MLP, default_nn_init
 NEG_INF = -1e30
 
 
+class _FusedQKVU(nn.Module):
+    """The fused Q/K/V/update projection with an optional receiver-restricted
+    split: K/V are computed for all nodes (senders), Q/update only for the
+    receiver rows. Column-slicing the shared kernel computes bit-identical
+    dot products to the full fused matmul, so the param tree ('qkvu': kernel,
+    bias) and outputs are unchanged from the single-Dense formulation."""
+
+    n_heads: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array, recv_slice=None):
+        import jax.random as jr
+
+        H, D = self.n_heads, self.out_dim
+        d_in = x.shape[-1]
+
+        def fused_init(key, shape, dtype):
+            # Identical distribution to four separate orthogonally-initialized
+            # Dense layers (each column block initialized independently).
+            keys = jr.split(key, 4)
+            init = default_nn_init()
+            cols = [init(keys[i], (shape[0], H * D), dtype) for i in range(3)]
+            cols.append(init(keys[3], (shape[0], D), dtype))
+            return jnp.concatenate(cols, axis=1)
+
+        kernel = self.param("kernel", fused_init, (d_in, 3 * H * D + D), x.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (3 * H * D + D,), x.dtype)
+
+        if recv_slice is None:
+            out = x @ kernel + bias
+            q = out[:, : H * D]
+            kv = out[:, H * D : 3 * H * D]
+            upd = out[:, 3 * H * D :]
+        else:
+            xr = x[recv_slice]
+            kv = x @ kernel[:, H * D : 3 * H * D] + bias[H * D : 3 * H * D]
+            q = xr @ kernel[:, : H * D] + bias[: H * D]
+            upd = xr @ kernel[:, 3 * H * D :] + bias[3 * H * D :]
+        k = kv[:, : H * D]
+        v = kv[:, H * D :]
+        return q, k, v, upd
+
+
 class BlockGraphTransformer(nn.Module):
-    """One graph-transformer layer over a BlockGraph. Returns updated nodes."""
+    """One graph-transformer layer over a BlockGraph.
+
+    Returns updated nodes (N, D) — or, with only_recv=True on the shared-
+    receiver fast path, just the receiver rows (nr, D): the final layer of a
+    GNN stack is only ever read at the receiver (agent) slice, so computing
+    Q/update/aggregation/activation for the other ~90% of nodes is wasted
+    HBM traffic.
+    """
 
     n_heads: int
     out_dim: int
     act: Callable[[Array], Array] = nn.relu
 
     @nn.compact
-    def __call__(self, graph: BlockGraph) -> Array:
+    def __call__(self, graph: BlockGraph, only_recv: bool = False) -> Array:
         spec = graph.spec
         x = graph.nodes  # (N, d)
         N = spec.n_nodes
         H, D = self.n_heads, self.out_dim
 
-        # One fused projection matmul for Q/K/V/update (4 dispatches -> 1);
-        # parameters are identical to four separate orthogonally-initialized
-        # Dense layers (each column block initialized independently).
-        def fused_init(key, shape, dtype):
-            import jax.random as jr
+        blocks_all = spec.blocks
+        shared_recv = all(
+            b.recv_start == blocks_all[0].recv_start and b.n_recv == blocks_all[0].n_recv
+            for b in blocks_all
+        )
+        restrict = only_recv and shared_recv
+        recv_slice = blocks_all[0].recv_slice if restrict else None
 
-            d_in = shape[0]
-            keys = jr.split(key, 4)
-            init = default_nn_init()
-            cols = [init(keys[i], (d_in, H * D), dtype) for i in range(3)]
-            cols.append(init(keys[3], (d_in, D), dtype))
-            return jnp.concatenate(cols, axis=1)
-
-        qkvu = nn.Dense(3 * H * D + D, kernel_init=fused_init, name="qkvu")(x)
-        q = qkvu[:, : H * D].reshape(N, H, D)
-        k = qkvu[:, H * D : 2 * H * D].reshape(N, H, D)
-        v = qkvu[:, 2 * H * D : 3 * H * D].reshape(N, H, D)
-        upd = qkvu[:, 3 * H * D :]  # (N, D)
+        q_flat, k_flat, v_flat, upd = _FusedQKVU(H, D, name="qkvu")(x, recv_slice)
+        # Restricted: q/upd rows are already exactly the receiver slice.
+        q = q_flat.reshape(-1, H, D)
+        k = k_flat.reshape(N, H, D)
+        v = v_flat.reshape(N, H, D)
 
         edge_proj = nn.Dense(H * D, use_bias=False, kernel_init=default_nn_init(), name="edge")
 
@@ -88,7 +134,8 @@ class BlockGraphTransformer(nn.Module):
         logits = []
         vpe = []
         for (e_off, e_cnt), mask, b in zip(offsets, graph.masks, spec.blocks):
-            qr = q[b.recv_slice]  # (nr, H, D)
+            # Restricted: q holds exactly the (shared) receiver rows already.
+            qr = q if restrict else q[b.recv_slice]  # (nr, H, D)
             ks = k[b.send_slice]
             vs = v[b.send_slice]
             eb = flat_eproj[e_off : e_off + e_cnt].reshape(b.edge_shape + (H, D))
@@ -130,7 +177,10 @@ class BlockGraphTransformer(nn.Module):
             z = p.sum(axis=1)  # (nr, H)
             s = jnp.einsum("rsh,rshd->rhd", p, msg_cat)
             aggr_r = jnp.where(z[..., None] > 0, s / jnp.maximum(z[..., None], 1e-38), 0.0)
-            aggr = jnp.zeros((N, H, D)).at[blocks[0].recv_slice].set(aggr_r)
+            if restrict:
+                aggr = aggr_r  # upd is receiver-rows too; no scatter to N
+            else:
+                aggr = jnp.zeros((N, H, D)).at[blocks[0].recv_slice].set(aggr_r)
         else:
             # General path: two-pass accumulation with static-slice updates.
             m = jnp.full((N, H), NEG_INF)
@@ -166,10 +216,28 @@ class GraphTransformerGNN(nn.Module):
 
     @nn.compact
     def __call__(self, graph: BlockGraph, node_type: int = None) -> Array:
+        spec = graph.spec
+        blocks = spec.blocks
+        # Final-layer receiver restriction: when the caller only reads one
+        # node type and that type IS the shared receiver range of every
+        # block, the last layer computes Q/update/softmax/activation for the
+        # receiver rows only (~10x fewer rows on lidar graphs).
+        shared_recv = all(
+            b.recv_start == blocks[0].recv_start and b.n_recv == blocks[0].n_recv for b in blocks
+        )
+        restrict_last = False
+        if node_type is not None and shared_recv:
+            t_slice = spec.type_slice(node_type)
+            r = blocks[0]
+            restrict_last = t_slice.start == r.recv_start and (t_slice.stop - t_slice.start) == r.n_recv
+
         for i in range(self.n_layers):
-            out_dim = self.out_dim if i == self.n_layers - 1 else self.msg_dim
-            new_nodes = BlockGraphTransformer(self.n_heads, out_dim, act=nn.relu)(graph)
-            graph = graph.replace(nodes=new_nodes)
+            last = i == self.n_layers - 1
+            out_dim = self.out_dim if last else self.msg_dim
+            layer = BlockGraphTransformer(self.n_heads, out_dim, act=nn.relu)
+            if last and restrict_last:
+                return layer(graph, only_recv=True)
+            graph = graph.replace(nodes=layer(graph))
         if node_type is None:
             return graph.nodes
         return graph.type_nodes(node_type)
