@@ -230,6 +230,15 @@ class InforMARL(Algorithm):
         return update_info
 
     def scan_Vl(self, rollout: Rollout, init_Vl_rnn_state: Array, Vl_params: Params):
+        # Per-step scan of the FULL critic (GNN + head + GRU) on purpose.
+        # Measured alternative (2026-08, one v5-class chip, 15.75G HBM,
+        # 2048 envs x T=128): hoisting the carry-independent GNN trunk out of
+        # the scan and batching it over all T was 20% SLOWER end-to-end
+        # (0.42 vs 0.53 updates/s) — the batched trunk streams (b*T)-sized
+        # activations through HBM while the scan keeps a 2048-graph working
+        # set local; without remat the batched variant OOMs outright (16.2G,
+        # 56x padding expansion on the small-feature tensors). Keep the scan.
+        #
         # jax.checkpoint: recompute the per-step critic in the backward pass
         # instead of storing scan residuals — the model is small enough that
         # recompute beats the HBM traffic (measured 1.5x on update_Vl @2048 envs).
@@ -318,7 +327,9 @@ class InforMARL(Algorithm):
         }
 
     def scan_eval_action(self, T_graphs, Ta_actions, init_rnn_state, T_action_keys, actor_params):
-        # jax.checkpoint: see scan_Vl (measured 1.5x on update_policy @2048 envs).
+        # Per-step scan of the full policy on purpose — see the measured
+        # trunk-hoisting negative result documented on scan_Vl.
+        # jax.checkpoint: measured 1.5x on update_policy @2048 envs.
         @jax.checkpoint
         def body(rnn_state, inp):
             graph, action, key = inp

@@ -146,6 +146,8 @@ class InforMARLLagr(InforMARL):
         return update_info
 
     def scan_Vh(self, rollout: Rollout, init_rnn_state: Array, Vh_params: Params):
+        # Per-step scan on purpose — see the trunk-hoisting negative result
+        # documented on InforMARL.scan_Vl.
         def body(rnn_state, graph):
             Vh, new_rnn_state = self.Vh.get_value(Vh_params, graph, rnn_state)
             return new_rnn_state, (Vh, rnn_state)

@@ -82,3 +82,44 @@ def test_save_load_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(algo.params), jax.tree_util.tree_leaves(algo2.params)
     ):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_update_scans_match_stepwise_eval():
+    """scan_eval_action / scan_Vl (the update loop's scanned re-evaluation,
+    incl. jax.checkpoint) must agree with a plain step-by-step Python loop
+    over eval_action / get_value."""
+    np.random.seed(0)
+    n_env, max_step = 2, 8
+    env, algo = _make("dgppo", n_env, max_step)
+    keys = jr.split(jr.PRNGKey(5), n_env)
+    rollout = algo.collect(algo.params, keys)
+    ro0 = jax.tree_util.tree_map(lambda x: x[0], rollout)
+
+    # Policy: step-by-step monolithic eval vs the hoisted scan_eval_action.
+    actor_params = algo.policy_train_state.params
+    T_keys = jr.split(jr.PRNGKey(7), max_step)
+    rnn = algo.init_rnn_state
+    ref_logpis, ref_ent = [], []
+    for t in range(max_step):
+        g_t = jax.tree_util.tree_map(lambda x: x[t], ro0.graph)
+        lp, ent, rnn = algo.policy.eval_action(
+            actor_params, g_t, ro0.actions[t], rnn, T_keys[t]
+        )
+        ref_logpis.append(np.asarray(lp))
+        ref_ent.append(np.asarray(ent))
+    got_logpis, got_ent, _, _ = algo.scan_eval_action(
+        ro0.graph, ro0.actions, algo.init_rnn_state, T_keys, actor_params
+    )
+    np.testing.assert_allclose(np.asarray(got_logpis), np.stack(ref_logpis), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ent), np.stack(ref_ent), rtol=0, atol=1e-5)
+
+    # Vl: step-by-step get_value vs the hoisted scan_Vl.
+    Vl_params = algo.Vl_train_state.params
+    rnn = algo.init_Vl_rnn_state
+    ref_vl = []
+    for t in range(max_step):
+        g_t = jax.tree_util.tree_map(lambda x: x[t], ro0.graph)
+        v, rnn = algo.Vl.get_value(Vl_params, g_t, rnn)
+        ref_vl.append(float(v.squeeze()))
+    got_vl, _, _ = algo.scan_Vl(ro0, algo.init_Vl_rnn_state, Vl_params)
+    np.testing.assert_allclose(np.asarray(got_vl), np.asarray(ref_vl), rtol=0, atol=1e-5)
