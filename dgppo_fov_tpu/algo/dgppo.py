@@ -170,7 +170,14 @@ class DGPPO(InforMARLLagr):
             )
         return update_info
 
-    @ft.partial(jax.jit, static_argnums=(0,))
+    # Donating the train states lets XLA update params/opt-state in place —
+    # they are immediately reassigned from the outputs at the call site
+    # (matters on the 15.75G-HBM chip at 2048-env batches).
+    @ft.partial(
+        jax.jit,
+        static_argnums=(0,),
+        donate_argnames=("Vl_train_state", "Vh_train_state", "policy_train_state"),
+    )
     def update_inner(
         self,
         Vl_train_state: TrainState,

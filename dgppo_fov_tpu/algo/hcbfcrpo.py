@@ -45,7 +45,8 @@ class HCBFCRPO(DGPPO):
             )
         return update_info
 
-    @ft.partial(jax.jit, static_argnums=(0,))
+    # Donation: see DGPPO.update_inner.
+    @ft.partial(jax.jit, static_argnums=(0,), donate_argnames=("Vl_train_state", "policy_train_state"))
     def update_inner(
         self,
         Vl_train_state: TrainState,

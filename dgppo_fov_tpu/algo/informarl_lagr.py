@@ -155,7 +155,12 @@ class InforMARLLagr(InforMARL):
         final_rnn_state, (Tah_Vh, T_rnn_states) = lax.scan(body, init_rnn_state, rollout.graph)
         return Tah_Vh, T_rnn_states, final_rnn_state
 
-    @ft.partial(jax.jit, static_argnums=(0,))
+    # Donation: see DGPPO.update_inner.
+    @ft.partial(
+        jax.jit,
+        static_argnums=(0,),
+        donate_argnames=("Vl_train_state", "Vh_train_state", "policy_train_state"),
+    )
     def update_inner(
         self,
         Vl_train_state: TrainState,
