@@ -95,7 +95,7 @@ def test_update_scans_match_stepwise_eval():
     rollout = algo.collect(algo.params, keys)
     ro0 = jax.tree_util.tree_map(lambda x: x[0], rollout)
 
-    # Policy: step-by-step monolithic eval vs the hoisted scan_eval_action.
+    # Policy: step-by-step eval vs scan_eval_action.
     actor_params = algo.policy_train_state.params
     T_keys = jr.split(jr.PRNGKey(7), max_step)
     rnn = algo.init_rnn_state
@@ -113,7 +113,7 @@ def test_update_scans_match_stepwise_eval():
     np.testing.assert_allclose(np.asarray(got_logpis), np.stack(ref_logpis), rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_ent), np.stack(ref_ent), rtol=0, atol=1e-5)
 
-    # Vl: step-by-step get_value vs the hoisted scan_Vl.
+    # Vl: step-by-step get_value vs scan_Vl.
     Vl_params = algo.Vl_train_state.params
     rnn = algo.init_Vl_rnn_state
     ref_vl = []
@@ -123,3 +123,31 @@ def test_update_scans_match_stepwise_eval():
         ref_vl.append(float(v.squeeze()))
     got_vl, _, _ = algo.scan_Vl(ro0, algo.init_Vl_rnn_state, Vl_params)
     np.testing.assert_allclose(np.asarray(got_vl), np.asarray(ref_vl), rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("kw", [dict(use_lstm=True), dict(use_rnn=False)])
+def test_collect_and_update_rnn_variants(kw):
+    """CLI-reachable network variants (--use-lstm, --no-rnn,
+    reference train.py use_lstm/no_rnn flags) train end-to-end."""
+    np.random.seed(0)
+    n_env, max_step = 4, 16
+    env = make_env("MPETarget", num_agents=3, num_obs=0, max_step=max_step)
+    algo = make_algo(
+        algo="dgppo",
+        env=env,
+        node_dim=env.node_dim,
+        edge_dim=env.edge_dim,
+        state_dim=env.state_dim,
+        action_dim=env.action_dim,
+        n_agents=env.num_agents,
+        batch_size=n_env * max_step // 2,
+        rnn_step=8,
+        seed=0,
+        train_steps=100,
+        **kw,
+    )
+    rollout = algo.collect(algo.params, jr.split(jr.PRNGKey(1), n_env))
+    assert np.all(np.isfinite(np.asarray(rollout.log_pis)))
+    info = algo.update(rollout, step=0)
+    assert np.isfinite(float(info["policy/loss"]))
+    assert float(info["policy/has_nan"]) == 0.0
