@@ -114,24 +114,27 @@ def main():
     steps_per_s = time_rollout(env, algo, n_env)
     per_chip = steps_per_s / n_chips
 
-    # Per-env CPU baselines measured on this image (single CPU device, same
-    # jitted vmapped rollout, 2048 envs x 128 steps). The >=50x target
-    # compares TPU vs CPU on the SAME workload (BASELINE.md).
+    # Per-(env, n_agents) CPU baselines measured on this image (single CPU
+    # device, same jitted vmapped rollout, 2048 envs x 128 steps). The >=50x
+    # target compares TPU vs CPU on the SAME workload (BASELINE.md).
     CPU_BASELINES = {
-        "MPETarget": 16254.0,
-        "MPESpread": 16359.5,
-        "MPELine": 9625.3,
-        "LidarSpread": 7989.3,
-        "LidarTarget": 7989.3,
-        "LidarLine": 7989.3,
-        "LidarBicycleTarget": 4458.8,
-        "LidarOmniTarget": 7139.8,
-        "VMASReverseTransport": 39748.1,
-        "VMASWheel": 48240.9,
+        ("MPETarget", 3): 16254.0,
+        ("MPESpread", 3): 16359.5,
+        ("MPESpread", 5): 5138.7,
+        ("MPELine", 3): 9625.3,
+        ("MPELine", 5): 9414.4,
+        ("LidarSpread", 3): 7989.3,
+        ("LidarTarget", 3): 7989.3,
+        ("LidarLine", 3): 7989.3,
+        ("LidarBicycleTarget", 5): 4458.8,
+        ("LidarOmniTarget", 3): 7139.8,
+        ("VMASReverseTransport", 3): 39748.1,
+        ("VMASWheel", 3): 48240.9,
     }
-    cpu_baseline = float(
-        os.environ.get("BENCH_CPU_BASELINE", CPU_BASELINES.get(env_id, 16254.0))
+    default_baseline = CPU_BASELINES.get(
+        (env_id, n_agents), next((v for (e, _), v in CPU_BASELINES.items() if e == env_id), 16254.0)
     )
+    cpu_baseline = float(os.environ.get("BENCH_CPU_BASELINE", default_baseline))
     vs_baseline = per_chip / cpu_baseline
 
     print(

@@ -29,7 +29,6 @@ from ..graph import BlockGraph
 from ..trainer.data import Rollout
 from ..trainer.rollout import test_rollout as det_rollout_fn
 from ..trainer.utils import compute_norm_and_clip, has_any_nan_or_inf
-from ..utils.tree import tree_index
 from ..utils.typing import Array, Params
 from .gae import compute_dec_ocp_gae
 from .informarl_lagr import InforMARLLagr

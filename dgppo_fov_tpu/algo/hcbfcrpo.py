@@ -15,7 +15,6 @@ from jax import lax
 
 from ..graph import BlockGraph
 from ..trainer.data import Rollout
-from ..utils.tree import tree_index
 from ..utils.typing import Array, Params
 from .dgppo import DGPPO
 from .gae import compute_dec_ocp_gae

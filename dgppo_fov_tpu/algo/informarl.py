@@ -34,7 +34,6 @@ from ..graph import nominal_graph
 from ..trainer.data import Rollout
 from ..trainer.rollout import rollout as rollout_fn
 from ..trainer.utils import compute_norm_and_clip, has_any_nan_or_inf
-from ..utils.tree import tree_index
 from ..utils.typing import Action, Array, Params, PRNGKey
 from .base import Algorithm
 from .gae import compute_dec_ocp_gae

@@ -11,7 +11,6 @@ Deltas vs InforMARL:
 import functools as ft
 import os
 import pickle
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,6 @@ from jax import lax
 
 from ..trainer.data import Rollout
 from ..trainer.utils import compute_norm_and_clip, has_any_nan_or_inf
-from ..utils.tree import tree_index
 from ..utils.typing import Array, Params
 from .gae import compute_dec_ocp_gae
 from .informarl import InforMARL

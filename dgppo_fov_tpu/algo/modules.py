@@ -12,7 +12,7 @@ Behavioral parity references:
  - ValueNet factory: /root/reference/dgppo/algo/module/value.py:82-157
 """
 import functools as ft
-from typing import Any, Callable, Optional, Tuple, Type
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
