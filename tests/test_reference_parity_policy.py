@@ -141,3 +141,58 @@ def test_checkpoint_file_migration(pair, tmp_path):
     a_r, _ = algo_r.policy.get_action(algo_r.params["policy"], g_r, jnp.zeros_like(algo_r.init_rnn_state))
     a_o, _ = algo_o.policy.get_action(migrated["policy"], g_o, jnp.zeros_like(algo_o.init_rnn_state))
     np.testing.assert_allclose(np.asarray(a_r), np.asarray(a_o), rtol=1e-5, atol=1e-5)
+
+
+def test_policy_transfer_action_parity_lstm(pair):
+    """Same as test_policy_transfer_action_parity but with use_lstm=True:
+    the LSTM cell remap (LSTMCell_N renumbering) and our stacked (c, h)
+    carry layout must reproduce the reference's recurrent policy exactly."""
+    from ref_oracle.shims import import_reference
+
+    import_reference(REF_PATH)
+    from dgppo.algo import make_algo as ref_make_algo
+    from dgppo.env import make_env as ref_make_env
+
+    from dgppo_fov_tpu.algo import make_algo as our_make_algo
+    from dgppo_fov_tpu.env import make_env as our_make_env
+    from dgppo_fov_tpu.utils.ref_remap import remap_policy_params
+
+    kw = dict(num_agents=3, num_obs=2, max_step=16)
+    env_r = ref_make_env("MPETarget", **kw)
+    env_o = our_make_env("MPETarget", **kw)
+    akw = dict(
+        node_dim=env_r.node_dim,
+        edge_dim=env_r.edge_dim,
+        state_dim=env_r.state_dim,
+        action_dim=env_r.action_dim,
+        n_agents=3,
+        cost_weight=0.0,
+        batch_size=64,
+        rnn_step=8,
+        seed=0,
+        use_rnn=True,
+        use_lstm=True,
+        train_steps=100,
+    )
+    algo_r = ref_make_algo(algo="informarl", env=env_r, **akw)
+    algo_o = our_make_algo(algo="informarl", env=env_o, **akw)
+
+    our_policy_params = remap_policy_params(algo_r.params["policy"])
+    rnn_r = jnp.zeros_like(algo_r.init_rnn_state)
+    rnn_o = jnp.zeros_like(algo_o.init_rnn_state)
+    assert rnn_o.shape[-2] == 2  # (n_layers, n_agents, n_carries=2, hid)
+
+    for seed in (0, 1):
+        key = jr.PRNGKey(seed)
+        g_r = env_r.reset(key)
+        g_o = env_o.reset(key)
+        a_r, new_rnn_r = algo_r.policy.get_action(algo_r.params["policy"], g_r, rnn_r)
+        a_o, new_rnn_o = algo_o.policy.get_action({"params": our_policy_params["params"]}, g_o, rnn_o)
+        np.testing.assert_allclose(np.asarray(a_r), np.asarray(a_o), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(new_rnn_r).reshape(-1)),
+            np.sort(np.asarray(new_rnn_o).reshape(-1)),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+        rnn_r, rnn_o = new_rnn_r, new_rnn_o
