@@ -14,6 +14,7 @@ Env vars:
 """
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
@@ -131,9 +132,20 @@ def main():
         ("VMASReverseTransport", 3): 39748.1,
         ("VMASWheel", 3): 48240.9,
     }
-    default_baseline = CPU_BASELINES.get(
-        (env_id, n_agents), next((v for (e, _), v in CPU_BASELINES.items() if e == env_id), 16254.0)
-    )
+    if (env_id, n_agents) in CPU_BASELINES:
+        default_baseline = CPU_BASELINES[(env_id, n_agents)]
+    else:
+        fallback = next(((e, n, v) for (e, n), v in CPU_BASELINES.items() if e == env_id), None)
+        if fallback is None:
+            default_baseline = 16254.0
+            print(f"# no CPU baseline for {env_id}; using MPETarget n=3", file=sys.stderr)
+        else:
+            default_baseline = fallback[2]
+            print(
+                f"# no CPU baseline for {env_id} n={n_agents}; falling back to n={fallback[1]} "
+                f"(vs_baseline is approximate — set BENCH_CPU_BASELINE to override)",
+                file=sys.stderr,
+            )
     cpu_baseline = float(os.environ.get("BENCH_CPU_BASELINE", default_baseline))
     vs_baseline = per_chip / cpu_baseline
 

@@ -41,9 +41,15 @@ def main():
 
     rows = load_metrics(args.run_dir)
     available = sorted({k for r in rows for k in r if k != "step"})
-    keys = args.keys or [k for k in DEFAULT_KEYS if k in available]
+    if args.keys is not None:
+        missing = [k for k in args.keys if k not in available]
+        if missing or not args.keys:
+            sys.exit(f"keys not present: {missing or '(none given)'}; available: {available}")
+        keys = args.keys
+    else:
+        keys = [k for k in DEFAULT_KEYS if k in available]
     if not keys:
-        sys.exit(f"none of the requested keys present; available: {available}")
+        sys.exit(f"no default keys present; available: {available}")
 
     fig, axes = plt.subplots(len(keys), 1, figsize=(8, 2.2 * len(keys)), sharex=True)
     if len(keys) == 1:

@@ -92,10 +92,18 @@ def test_two_process_distributed_matches_single():
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=1800)
-        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=1800)
+            assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        # Never leak workers: a failed/timed-out peer would otherwise sit in
+        # jax.distributed.initialize holding the port until its own timeout.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     # Both processes observe the same global rollout and post-update params.
     assert outs[0]["reward_sum"] == outs[1]["reward_sum"]

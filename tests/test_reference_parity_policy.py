@@ -143,10 +143,12 @@ def test_checkpoint_file_migration(pair, tmp_path):
     np.testing.assert_allclose(np.asarray(a_r), np.asarray(a_o), rtol=1e-5, atol=1e-5)
 
 
-def test_policy_transfer_action_parity_lstm(pair):
+def test_policy_transfer_action_parity_lstm():
     """Same as test_policy_transfer_action_parity but with use_lstm=True:
     the LSTM cell remap (LSTMCell_N renumbering) and our stacked (c, h)
-    carry layout must reproduce the reference's recurrent policy exactly."""
+    carry layout must reproduce the reference's recurrent policy exactly.
+    (Deliberately does NOT use the module-scoped GRU `pair` fixture — it
+    builds its own use_lstm pair.)"""
     from ref_oracle.shims import import_reference
 
     import_reference(REF_PATH)
@@ -189,9 +191,11 @@ def test_policy_transfer_action_parity_lstm(pair):
         a_r, new_rnn_r = algo_r.policy.get_action(algo_r.params["policy"], g_r, rnn_r)
         a_o, new_rnn_o = algo_o.policy.get_action({"params": our_policy_params["params"]}, g_o, rnn_o)
         np.testing.assert_allclose(np.asarray(a_r), np.asarray(a_o), rtol=1e-5, atol=1e-5)
+        # Layout-sensitive carry check: same flat order, not just same
+        # multiset (a (c,h) swap or agent transposition must fail here).
         np.testing.assert_allclose(
-            np.sort(np.asarray(new_rnn_r).reshape(-1)),
-            np.sort(np.asarray(new_rnn_o).reshape(-1)),
+            np.asarray(new_rnn_r).reshape(np.asarray(new_rnn_o).shape),
+            np.asarray(new_rnn_o),
             rtol=1e-5,
             atol=1e-5,
         )
