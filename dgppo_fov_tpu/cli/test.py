@@ -188,7 +188,10 @@ def test(args):
         safe_rate = rates[ii] * 100
         video_name = f"n{num_agents}_epi{ii:02}_reward{rewards[ii]:.3f}_cost{costs[ii]:.3f}_sr{safe_rate:.0f}"
         video_path = videos_dir / f"{stamp_str}_{video_name}.mp4"
-        env.render_video(rollout, video_path, Ta_is_unsafe, {}, dpi=args.dpi)
+        written = env.render_video(rollout, video_path, Ta_is_unsafe, {}, dpi=args.dpi)
+        # save_anim falls back to .gif when no mp4 writer exists — report
+        # the file actually written, not the requested name.
+        print(f"video: {written if written is not None else video_path}")
 
 
 def main():

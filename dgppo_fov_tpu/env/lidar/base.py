@@ -48,6 +48,10 @@ class LidarEnv(MultiAgentEnv, ABC):
     GOAL = 1
     OBS = 2
 
+    # Agents render as circles by default; bicycle agents override to draw
+    # oriented f1tenth car bodies (reference lidar_bicycle_target.py:125-293).
+    RENDER_CAR_BODY = False
+
     PARAMS = {
         "car_radius": 0.05,
         "comm_radius": 0.5,
@@ -316,10 +320,10 @@ class LidarEnv(MultiAgentEnv, ABC):
     def render_video(
         self, rollout, video_path: pathlib.Path, Ta_is_unsafe=None, viz_opts: dict = None,
         dpi: int = 100, **kwargs,
-    ) -> None:
+    ) -> pathlib.Path:
         from ..plot import render_lidar
 
-        render_lidar(
+        return render_lidar(
             rollout=rollout,
             video_path=video_path,
             side_length=self.area_size,
@@ -332,5 +336,6 @@ class LidarEnv(MultiAgentEnv, ABC):
             viz_opts=viz_opts,
             n_goal=self.num_goals,
             dpi=dpi,
+            car_body=self.RENDER_CAR_BODY,
             **kwargs,
         )

@@ -23,6 +23,8 @@ from .lidar_target import LidarTarget
 
 
 class LidarBicycleTarget(LidarTarget):
+    RENDER_CAR_BODY = True  # oriented f1tenth body (reference :125-293)
+
     PARAMS = {
         "car_radius": 0.05,
         "comm_radius": 0.5,
@@ -100,21 +102,5 @@ class LidarBicycleTarget(LidarTarget):
         upper = jnp.array([self.area_size, self.area_size, 1, 1, 0.5])
         return lower, upper
 
-    def render_video(self, rollout, video_path, Ta_is_unsafe=None, viz_opts=None, dpi=100, **kwargs):
-        from ..plot import render_lidar
-
-        render_lidar(
-            rollout=rollout,
-            video_path=video_path,
-            side_length=self.area_size,
-            dim=2,
-            n_agent=self.num_agents,
-            n_rays=self.top_k if self.n_obs > 0 else 0,
-            r=self.params["car_radius"],
-            cost_components=self.cost_components,
-            Ta_is_unsafe=Ta_is_unsafe,
-            viz_opts=viz_opts,
-            n_goal=self.num_goals,
-            dpi=dpi,
-            **kwargs,
-        )
+    # render_video: inherited from LidarEnv; RENDER_CAR_BODY selects the
+    # oriented f1tenth body renderer (plot.py get_f1tenth_body).

@@ -257,6 +257,16 @@ class LidarOmniTarget(LidarEnv):
         else:
             hits = graph.type_states(LidarEnv.OBS)[:, :2]
             dist_obs = jnp.linalg.norm(hits[None, :, :] - agent_pos[:, None, :], axis=-1)
+            # Reference quirk preserved: omni's get_cost derives the obstacle
+            # node count from the PADDED node total (reference
+            # lidar_omni_target.py:566: nodes - N - num_goals = top_k*N + 1),
+            # so its type_states gather (utils/graph.py:136-140, a scatter
+            # into a zeros buffer) leaves one phantom all-zeros point at the
+            # origin that participates in the min-distance. An agent within
+            # car_radius of (0, 0) is therefore flagged unsafe by the
+            # reference even with no real obstacle nearby; reproduce exactly.
+            phantom_dist = jnp.linalg.norm(agent_pos, axis=-1)[:, None]
+            dist_obs = jnp.concatenate([dist_obs, phantom_dist], axis=1)
             obs_coll_cost = self.params["car_radius"] - dist_obs.min(axis=1)
 
         safe_value = -1.0

@@ -265,10 +265,10 @@ class MPE(MultiAgentEnv, ABC):
     def render_video(
         self, rollout, video_path: pathlib.Path, Ta_is_unsafe=None, viz_opts: dict = None,
         dpi: int = 100, **kwargs,
-    ) -> None:
+    ) -> pathlib.Path:
         from ..plot import render_mpe
 
-        render_mpe(
+        return render_mpe(
             rollout=rollout,
             video_path=video_path,
             side_length=self.area_size,

@@ -13,15 +13,22 @@ import numpy as np
 from ..utils.tree import jax2np, tree_index
 
 
-def save_anim(ani, path: pathlib.Path):
-    """Save an animation; mp4 via ffmpeg when available, else gif (pillow)."""
+def save_anim(ani, path: pathlib.Path) -> pathlib.Path:
+    """Save an animation; mp4 via ffmpeg when available, else gif (pillow).
+
+    Returns the path actually written: the requested `path` when the mp4
+    writer succeeds, else the `.gif` sibling the fallback writes (callers
+    must report THIS path, not the requested one).
+    """
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     try:
         ani.save(str(path), writer="ffmpeg", fps=30)
+        return path
     except Exception:
         gif_path = path.with_suffix(".gif")
         ani.save(str(gif_path), writer="pillow", fps=15)
+        return gif_path
 
 
 def get_f1tenth_body(center, heading, r: float) -> np.ndarray:
@@ -127,8 +134,9 @@ def render_mpe(
         return [*agent_patches, cost_text, kk_text, goal_pts]
 
     ani = FuncAnimation(fig, update, frames=T, interval=1000 / 30.0, blit=True)
-    save_anim(ani, video_path)
+    written = save_anim(ani, video_path)
     plt.close(fig)
+    return written
 
 
 def render_lidar(
@@ -144,9 +152,16 @@ def render_lidar(
     viz_opts: dict = None,
     n_goal: Optional[int] = None,
     dpi: int = 100,
+    car_body: bool = False,
     **kwargs,
 ):
-    """Parity: reference render_lidar (env/plot.py:468-723)."""
+    """Parity: reference render_lidar (env/plot.py:468-723).
+
+    car_body=True draws each agent as an oriented f1tenth rectangle (heading
+    from state columns 2:4 = (cos, sin)) instead of a circle — the
+    reference's custom LidarBicycleTarget renderer
+    (lidar_bicycle_target.py:125-293).
+    """
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
@@ -166,9 +181,15 @@ def render_lidar(
             ax.add_patch(plt.Polygon(pts[k], fc="C7", ec="none", zorder=3))
     ax.scatter(state0.goal[:, 0], state0.goal[:, 1], marker="*", s=150, c="C5", zorder=4)
 
-    agent_patches = [plt.Circle((0, 0), r, color=f"C{i % 10}", zorder=5) for i in range(n_agent)]
-    for p in agent_patches:
-        ax.add_patch(p)
+    if car_body:
+        agent_patches = MutablePatchCollection(
+            plt.Polygon(get_f1tenth_body((0.0, 0.0), 0.0, r), color=f"C{i % 10}", zorder=5)
+            for i in range(n_agent)
+        ).add_to(ax)
+    else:
+        agent_patches = [plt.Circle((0, 0), r, color=f"C{i % 10}", zorder=5) for i in range(n_agent)]
+        for p in agent_patches:
+            ax.add_patch(p)
     hits_scatter = ax.scatter([], [], s=4, c="red", zorder=6) if n_rays > 0 else None
     cost_text = ax.text(0.01, 1.02, "", va="bottom", ha="left", transform=ax.transAxes, size=12)
     kk_text = ax.text(0.99, 1.02, "", va="bottom", ha="right", transform=ax.transAxes, size=12)
@@ -176,7 +197,11 @@ def render_lidar(
     def update(kk):
         state = tree_index(T_env_states, kk)
         for i in range(n_agent):
-            agent_patches[i].set_center(state.agent[i, :2])
+            if car_body:
+                heading = float(np.arctan2(state.agent[i, 3], state.agent[i, 2]))
+                agent_patches[i].set_xy(get_f1tenth_body(state.agent[i, :2], heading, r))
+            else:
+                agent_patches[i].set_center(state.agent[i, :2])
             if Ta_is_unsafe is not None:
                 unsafe = bool(np.asarray(Ta_is_unsafe)[kk, i])
                 agent_patches[i].set_edgecolor("red" if unsafe else "none")
@@ -191,5 +216,6 @@ def render_lidar(
         return artists + [cost_text, kk_text]
 
     ani = FuncAnimation(fig, update, frames=T, interval=1000 / 30.0, blit=True)
-    save_anim(ani, video_path)
+    written = save_anim(ani, video_path)
     plt.close(fig)
+    return written

@@ -50,8 +50,9 @@ def render_reverse_transport(env, rollout, video_path: pathlib.Path, dpi: int = 
         return [box_patch, *agent_patches, kk_text]
 
     ani = FuncAnimation(fig, update, frames=T, interval=1000 / 30.0, blit=True)
-    save_anim(ani, video_path)
+    written = save_anim(ani, video_path)
     plt.close(fig)
+    return written
 
 
 def render_wheel(env, rollout, video_path: pathlib.Path, dpi: int = 200):
@@ -95,5 +96,6 @@ def render_wheel(env, rollout, video_path: pathlib.Path, dpi: int = 200):
         return [line_artist, *agent_patches, kk_text]
 
     ani = FuncAnimation(fig, update, frames=T, interval=1000 / 30.0, blit=True)
-    save_anim(ani, video_path)
+    written = save_anim(ani, video_path)
     plt.close(fig)
+    return written

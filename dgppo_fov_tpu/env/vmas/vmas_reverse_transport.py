@@ -274,4 +274,4 @@ class VMASReverseTransport(MultiAgentEnv):
     def render_video(self, rollout, video_path, Ta_is_unsafe=None, viz_opts=None, dpi=200, **kwargs):
         from .render import render_reverse_transport
 
-        render_reverse_transport(self, rollout, video_path, dpi=dpi)
+        return render_reverse_transport(self, rollout, video_path, dpi=dpi)

@@ -278,4 +278,4 @@ class VMASWheel(MultiAgentEnv):
     def render_video(self, rollout, video_path, Ta_is_unsafe=None, viz_opts=None, dpi=200, **kwargs):
         from .render import render_wheel
 
-        render_wheel(self, rollout, video_path, dpi=dpi)
+        return render_wheel(self, rollout, video_path, dpi=dpi)

@@ -91,3 +91,34 @@ def test_env_parity(ref, env_id, n_agents, num_obs, rtol):
             atol=rtol,
             err_msg=f"{env_id} agent states t={t}",
         )
+
+
+def test_omni_phantom_origin_cost_parity(ref):
+    """Regression for the reference's padded-count quirk in LidarOmniTarget's
+    obstacle cost: its get_cost gathers top_k*N + 1 type-2 states (node
+    count minus agents/goals, i.e. INCLUDING the padding node), and the
+    zeros-buffer scatter leaves a phantom point at the origin in the
+    min-distance. Drive both envs with many random-action steps (enough to
+    enter the regime where every real hit is farther than the origin) and
+    require cost parity throughout."""
+    env_r, env_o = _make_pair(ref, "LidarOmniTarget", 3, 2)
+    worst = 0.0
+    for seed in (0, 1, 2):
+        key = jr.PRNGKey(seed)
+        g_r = env_r.reset(key)
+        g_o = env_o.reset(key)
+        np.testing.assert_allclose(
+            np.asarray(env_r.get_cost(g_r)), np.asarray(env_o.get_cost(g_o)), rtol=0, atol=1e-5
+        )
+        akey = jr.PRNGKey(100 + seed)
+        for _ in range(16):
+            akey, k = jr.split(akey)
+            action = jr.uniform(k, (3, env_o.action_dim), minval=-1.0, maxval=1.0)
+            g_r, _, c_r, _, _ = env_r.step(g_r, action)
+            g_o, _, c_o, _, _ = env_o.step(g_o, action)
+            diff = float(np.max(np.abs(np.asarray(c_r) - np.asarray(c_o))))
+            worst = max(worst, diff)
+            np.testing.assert_allclose(
+                np.asarray(c_r), np.asarray(c_o), rtol=0, atol=1e-5
+            )
+    assert worst < 1e-5

@@ -3,6 +3,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -135,3 +136,26 @@ def test_full_checkpoint_roundtrip_restores_structure(tmp_path):
     rollout2 = algo2.collect(algo2.params, jr.split(jr.PRNGKey(1), 4))
     info = algo2.update(rollout2, step=1)
     assert np.isfinite(float(info["policy/loss"]))
+
+
+@pytest.mark.parametrize("env_id", ["MPETarget", "LidarBicycleTarget", "VMASWheel"])
+def test_render_video_smoke(env_id, tmp_path):
+    """render_video writes a real file and returns the path actually written
+    (save_anim falls back to .gif when no mp4 writer exists). Covers the
+    circle renderer, the oriented f1tenth car-body renderer
+    (LidarBicycleTarget, get_f1tenth_body + MutablePatchCollection), and the
+    VMAS renderer."""
+    import jax.random as jr
+
+    from dgppo_fov_tpu.trainer.rollout import test_rollout
+
+    env = make_env(env_id, num_agents=3, max_step=4)
+
+    def actor(graph, rnn_state):
+        return jnp.zeros((3, env.action_dim)), rnn_state
+
+    rollout = test_rollout(env, actor, jnp.zeros((1, 3, 1, 8)), jr.PRNGKey(0))
+    Ta_is_unsafe = np.zeros((4, 3), dtype=bool)
+    written = env.render_video(rollout, tmp_path / "vid.mp4", Ta_is_unsafe, {}, dpi=40)
+    assert written is not None and os.path.exists(written), written
+    assert os.path.getsize(written) > 0
