@@ -67,12 +67,14 @@ class DGPPO(InforMARLLagr):
         cbf_weight: float = 1.0,
         train_steps: int = 100_000,
         cbf_schedule: bool = True,
+        compute_dtype=None,
         **kwargs,
     ):
         super().__init__(
             env, node_dim, edge_dim, state_dim, action_dim, n_agents, actor_gnn_layers, Vl_gnn_layers,
             Vh_gnn_layers, gamma, lr_actor, lr_Vl, lr_Vh, batch_size, epoch_ppo, clip_eps, gae_lambda,
             coef_ent, max_grad_norm, seed, use_rnn, rnn_layers, rnn_step, use_lstm,
+            compute_dtype=compute_dtype,
         )
 
         self.alpha = alpha
@@ -256,7 +258,7 @@ class DGPPO(InforMARLLagr):
             det_rollout_batch = jtu.tree_map(lambda x: x[idx], det_rollout)
             Vl_model, Vl_info = self.update_Vl(Vl_model, rollout_batch, bT_Ql[idx], bT_Vl_rnn_states[idx], rnn_chunk_ids)
             Vh_model, Vh_info = self.update_Vh(
-                Vh_model, det_rollout_batch, bTah_Qh_det[idx], rollout.rnn_states[idx], rnn_chunk_ids
+                Vh_model, det_rollout_batch, bTah_Qh_det[idx], rnn_chunk_ids
             )
             policy_model, policy_info = self.update_policy(policy_model, rollout_batch, bTa_A[idx], rnn_chunk_ids)
             return (Vl_model, Vh_model, policy_model), (Vl_info | Vh_info | policy_info)
@@ -267,8 +269,15 @@ class DGPPO(InforMARLLagr):
         info = jtu.tree_map(lambda x: x[-1], info) | {"eval/safe_data": safe_data}
         return Vl_train_state, Vh_train_state, policy_train_state, info
 
-    def update_Vh(self, Vh_train_state, det_rollout: Rollout, bTah_Qh_det, bT_rnn_states, rnn_chunk_ids):
-        """L2 fit of Vh to deterministic-rollout GAE targets (dgppo.py:296-321)."""
+    def update_Vh(self, Vh_train_state, det_rollout: Rollout, bTah_Qh_det, rnn_chunk_ids):
+        """L2 fit of Vh to deterministic-rollout GAE targets (dgppo.py:296-321).
+
+        The Vh replay reads the DET rollout's stored rnn_states (the policy's
+        carries along the det trajectory, dgppo.py:219-229). The reference's
+        update_Vh takes an extra rnn-states argument it never reads
+        (reference dgppo.py:296-321 — the stochastic rollout's carries were
+        passed next to det graphs); that dead parameter is dropped here.
+        """
         bcT_rollout = jtu.tree_map(lambda x: x[:, rnn_chunk_ids], det_rollout)
         bcTah_Qh_det = bTah_Qh_det[:, rnn_chunk_ids]
 

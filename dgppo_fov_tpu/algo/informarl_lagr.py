@@ -58,12 +58,14 @@ class InforMARLLagr(InforMARL):
         use_lstm: bool = False,
         lagr_init: float = 0.78,
         lr_lagr: float = 1e-7,
+        compute_dtype=None,
         **kwargs,
     ):
         super().__init__(
             env, node_dim, edge_dim, state_dim, action_dim, n_agents, 0.0, actor_gnn_layers, Vl_gnn_layers,
             gamma, lr_actor, lr_Vl, batch_size, epoch_ppo, clip_eps, gae_lambda, coef_ent, max_grad_norm,
             seed, use_rnn, rnn_layers, rnn_step, use_lstm,
+            compute_dtype=compute_dtype,
         )
 
         self.lr_Vh = lr_Vh
@@ -145,7 +147,10 @@ class InforMARLLagr(InforMARL):
 
     def scan_Vh(self, rollout: Rollout, init_rnn_state: Array, Vh_params: Params):
         # Per-step scan on purpose — see the trunk-hoisting negative result
-        # documented on InforMARL.scan_Vl.
+        # documented on InforMARL.scan_Vl. jax.checkpoint like the sibling
+        # scans: update_Vh differentiates through this, and recomputing the
+        # per-step critic beats storing all T GNN residuals (scan_Vl note).
+        @jax.checkpoint
         def body(rnn_state, graph):
             Vh, new_rnn_state = self.Vh.get_value(Vh_params, graph, rnn_state)
             return new_rnn_state, (Vh, rnn_state)

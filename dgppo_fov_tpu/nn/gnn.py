@@ -153,23 +153,18 @@ class BlockGraphTransformer(nn.Module):
             vpe.append(msg)
 
         # Softmax over each receiver's full incoming-edge set across blocks.
+        # (same shared-receiver predicate as `shared_recv` above — reuse it so
+        # the restrict path and the fast softmax path can never disagree.)
         blocks = spec.blocks
-        same_recv = all(
-            b.recv_start == blocks[0].recv_start and b.n_recv == blocks[0].n_recv for b in blocks
-        )
-        if same_recv:
+        if shared_recv:
             # Fast path (every env here: receivers are always the agents):
             # concatenate blocks along the sender axis -> ONE masked softmax
             # and ONE weighted-sum einsum; scatter once into the recv slice.
+            # Every vpe entry already has leading dim nr (dense: vs[None]+eb
+            # broadcasts to (nr, ns, H, D); diag: (nr, c, H, D)).
             nr = blocks[0].n_recv
             lg_cat = jnp.concatenate(logits, axis=1)  # (nr, S, H)
-            msg_cat = jnp.concatenate(
-                [
-                    m if m.shape[0] == nr else jnp.broadcast_to(m, (nr,) + m.shape[1:])
-                    for m in vpe
-                ],
-                axis=1,
-            )  # (nr, S, H, D)
+            msg_cat = jnp.concatenate(vpe, axis=1)  # (nr, S, H, D)
             m_max = lg_cat.max(axis=1)  # (nr, H)
             m_safe = jnp.where(m_max <= NEG_INF / 2, 0.0, m_max)
             p = jnp.exp(lg_cat - m_safe[:, None, :])

@@ -54,3 +54,20 @@ def test_bf16_full_update_runs():
     leaves = jax.tree_util.tree_leaves(info)
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
     assert float(info["policy/has_nan"]) == 0.0
+
+
+def test_bf16_mode_is_actually_active():
+    """Regression: compute_dtype used to be silently dropped by the
+    InforMARLLagr/DGPPO constructors (everything ran f32 while --bf16 /
+    BENCH_DTYPE claimed otherwise). The mode must reach all three networks
+    and produce bf16-rounded (i.e. different-from-f32) outputs."""
+    env32, a32 = _make(None)
+    env16, a16 = _make("bfloat16")
+    assert a16.policy.compute_dtype == jnp.bfloat16
+    assert a16.Vl.compute_dtype == jnp.bfloat16
+    assert a16.Vh.compute_dtype == jnp.bfloat16
+
+    graph = env32.reset(jr.PRNGKey(0)).without_env_states()
+    act32, _ = a32.policy.get_action(a32.params["policy"], graph, a32.init_rnn_state)
+    act16, _ = a16.policy.get_action(a16.params["policy"], graph, a16.init_rnn_state)
+    assert np.abs(np.asarray(act32) - np.asarray(act16)).max() > 0.0
