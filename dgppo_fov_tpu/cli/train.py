@@ -142,6 +142,7 @@ def train(args):
         compute_dtype="bfloat16" if args.bf16 else None,
     )
 
+    start_step = 0
     if args.load_checkpoint:
         assert args.load_step is not None, "--load-checkpoint requires --load-step"
         print(f"> Loading checkpoint from {args.load_checkpoint}, step {args.load_step}")
@@ -152,6 +153,7 @@ def train(args):
         assert args.load_step is not None, "--load-full requires --load-step"
         resumed_step = load_full_checkpoint(algo, args.load_full, args.load_step)
         print(f"> Resumed full state at step {resumed_step}")
+        start_step = resumed_step
 
     rng_ = np.random.default_rng()
     rand_id = "".join([chr(rng_.integers(65, 91)) for _ in range(4)])
@@ -198,7 +200,7 @@ def train(args):
             yaml.dump(vars(args), f)
             yaml.dump(algo.config, f)
 
-    trainer.train()
+    trainer.train(start_step=start_step)
 
 
 def main():

@@ -31,16 +31,28 @@ def init_distributed(
 ) -> None:
     """Initialize multi-host JAX; no-op for a single process.
 
-    Explicit args or the standard JAX env vars (JAX_COORDINATOR_ADDRESS /
-    cluster auto-detection) trigger jax.distributed.initialize.
+    With explicit args or JAX_COORDINATOR_ADDRESS set, failures propagate
+    (a mis-configured cluster must fail loudly, not train per-host models).
+    Otherwise jax.distributed.initialize() is still ATTEMPTED so jax's
+    cluster auto-detection (TPU pods, SLURM, GKE, MPI) kicks in — its
+    "no cluster found" error is the single-process signal and is swallowed.
     """
     import os
 
-    if coordinator_address is None and num_processes is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
     )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id
+        )
+    except Exception:
+        if explicit:
+            raise
+        # No explicit config and no auto-detectable cluster: single process.
+        return
 
 
 def make_mesh(devices=None, axis_name: str = ENV_AXIS) -> Mesh:

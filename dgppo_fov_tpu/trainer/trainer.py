@@ -74,18 +74,26 @@ class Trainer:
         )
 
         self.steps = params["training_steps"]
-        self.eval_interval = params["eval_interval"]
-        self.eval_epi = params["eval_epi"]
-        self.save_interval = params["save_interval"]
+        # Same defaults the asserts above validate against — a params dict
+        # without these keys is legal, not a KeyError.
+        self.eval_interval = params.get("eval_interval", 1)
+        self.eval_epi = params.get("eval_epi", 1)
+        self.save_interval = params.get("save_interval", 1)
 
         self.update_steps = 0
         self.key = jr.PRNGKey(seed)
         self.full_checkpoint = full_checkpoint
         self.profile_dir = profile_dir
 
-    def train(self):
+    def train(self, start_step: int = 0):
+        """Run training from `start_step` (pass the step returned by
+        load_checkpoint to resume: the loop counter drives the cost/CBF
+        weight schedules and the per-step collect keys, so a resumed run
+        continues the schedule phase and the PRNG stream instead of
+        replaying from 0)."""
         start_time = time.time()
         init_rnn_state = self.algo.init_rnn_state
+        self.update_steps = start_step
 
         def test_fn_single(params, key):
             act_fn = ft.partial(self.algo.act, params=params)
@@ -98,22 +106,26 @@ class Trainer:
         test_keys = jr.split(test_key, 1_000)[: self.n_env_test]
         test_keys = shard_batch(test_keys, self.mesh)
 
-        n_chips = max(1, len(jax.devices()))
+        # Per-chip throughput: devices actually used, not all visible ones.
+        n_chips = self.mesh.devices.size if self.mesh is not None else 1
         env_steps_per_iter = self.n_env_train * self.env.max_episode_steps
 
-        for step in range(0, self.steps + 1):
+        for step in range(start_step, self.steps + 1):
             if step % self.eval_interval == 0:
                 eval_t0 = time.time()
                 test_rollouts: Rollout = test_fn(self.algo.params, test_keys)
+                # All reductions in jnp BEFORE any host fetch: on a multi-host
+                # mesh the rollout arrays span non-addressable devices, so
+                # only fully-reduced (replicated) scalars may cross to numpy.
                 total_reward = test_rollouts.rewards.sum(axis=-1)
                 reward_min, reward_max = float(total_reward.min()), float(total_reward.max())
-                reward_mean = float(np.mean(np.asarray(total_reward)))
-                reward_final = float(np.mean(np.asarray(test_rollouts.rewards[:, -1])))
+                reward_mean = float(total_reward.mean())
+                reward_final = float(test_rollouts.rewards[:, -1].mean())
                 cost = float(
                     jnp.maximum(test_rollouts.costs, 0.0).max(axis=-1).max(axis=-1).sum(axis=-1).mean()
                 )
                 unsafe_frac = float(
-                    np.mean(np.asarray(test_rollouts.costs.max(axis=-1).max(axis=-2)) >= 1e-6)
+                    (test_rollouts.costs.max(axis=-1).max(axis=-2) >= 1e-6).mean()
                 )
                 eval_info = {
                     "eval/reward": reward_mean,
@@ -144,8 +156,9 @@ class Trainer:
                 jax.profiler.start_trace(self.profile_dir)
 
             collect_t0 = time.time()
-            key_x0, self.key = jr.split(self.key)
-            key_x0 = jr.split(key_x0, self.n_env_train)
+            # Step-keyed (not sequentially split) so a resumed run at step S
+            # continues the same stream the original run would have used.
+            key_x0 = jr.split(jr.fold_in(self.key, step), self.n_env_train)
             key_x0 = shard_batch(key_x0, self.mesh)
             rollouts = self.algo.collect(self.algo.params, key_x0)
             jax.block_until_ready(rollouts.rewards)
@@ -153,6 +166,9 @@ class Trainer:
 
             update_t0 = time.time()
             update_info = self.algo.update(rollouts, step)
+            # Block before timing: without this, async dispatch makes
+            # update_s measure enqueue time, overstating updates/s.
+            jax.block_until_ready(jax.tree_util.tree_leaves(dict(update_info)))
             update_s = time.time() - update_t0
 
             if self.profile_dir is not None and step == 2:

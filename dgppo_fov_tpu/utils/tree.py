@@ -72,24 +72,24 @@ def jax_jit_np(fn: Callable, *jit_args, **jit_kwargs) -> Callable:
 
 
 def chunk_vmap(fn: Callable, chunks: int) -> Callable:
-    """vmap evaluated in `chunks` sequential pieces to bound peak memory."""
+    """vmap evaluated in `chunks` sequential pieces to bound peak memory.
+
+    Parity: reference utils/utils.py chunk_vmap (:101-119) — contiguous
+    np.array_split chunks, each run through a JITTED vmap (eager per-chunk
+    dispatch would defeat the purpose), concatenated back in order.
+    """
+    jit_vmap_fn = jax.jit(jax.vmap(fn))
 
     def wrapped(*args):
-        split_args = [
-            [jtu.tree_map(lambda x: x[i::chunks], a) for a in args] for i in range(chunks)
-        ]
-        outs = [jax.vmap(fn)(*sa) for sa in split_args]
-        n = jtu.tree_leaves(outs[0])[0].shape[0] * chunks
-        # Interleave back: out[i::chunks] = outs[i]
-        def merge(*leaves):
-            total = sum(l.shape[0] for l in leaves)
-            out = jnp.zeros((total,) + leaves[0].shape[1:], leaves[0].dtype)
-            for i, l in enumerate(leaves):
-                out = out.at[i::chunks].set(l)
-            return out
-
-        del n
-        return jtu.tree_map(merge, *outs)
+        n = jtu.tree_leaves(args[0])[0].shape[0]
+        bounds = np.array_split(np.arange(n), chunks)
+        outs = []
+        for idx in bounds:
+            if idx.size == 0:
+                continue
+            sa = [jtu.tree_map(lambda x: x[idx[0] : idx[-1] + 1], a) for a in args]
+            outs.append(jit_vmap_fn(*sa))
+        return jtu.tree_map(lambda *leaves: jnp.concatenate(leaves, axis=0), *outs)
 
     return wrapped
 

@@ -159,3 +159,56 @@ def test_render_video_smoke(env_id, tmp_path):
     written = env.render_video(rollout, tmp_path / "vid.mp4", Ta_is_unsafe, {}, dpi=40)
     assert written is not None and os.path.exists(written), written
     assert os.path.getsize(written) > 0
+
+
+def test_trainer_resume_continues_stream_and_schedule(tmp_path):
+    """train(start_step=S) must continue, not replay: the loop feeds `step`
+    to algo.update (cost/CBF schedules) and derives the per-step collect
+    keys by fold_in(key, step), so a resumed run at step S collects with the
+    SAME keys the original run would have used at step S."""
+    import jax.random as jr
+
+    def build(log_dir):
+        env = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+        env_test = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+        algo = make_algo(
+            algo="dgppo", env=env, node_dim=env.node_dim, edge_dim=env.edge_dim,
+            state_dim=env.state_dim, action_dim=env.action_dim, n_agents=3,
+            batch_size=16, rnn_step=4, seed=0, train_steps=4,
+        )
+        return Trainer(
+            env=env, env_test=env_test, algo=algo, gamma=0.99,
+            n_env_train=4, n_env_test=2, log_dir=log_dir, seed=0,
+            params={"run_name": "t", "training_steps": 3, "eval_interval": 10,
+                    "eval_epi": 1, "save_interval": 10},
+            save_log=False, use_wandb=False, full_checkpoint=False,
+        )
+
+    # Step-keyed collect streams: the same (seed, step) gives the same keys
+    # regardless of how many earlier iterations ran.
+    t = build(None)
+    k2_direct = jr.split(jr.fold_in(t.key, 2), t.n_env_train)
+    np.random.seed(0)
+    t.train(start_step=2)  # runs steps 2..3 only
+    t2 = build(None)
+    np.random.seed(0)
+    k2_after_resume = jr.split(jr.fold_in(t2.key, 2), t2.n_env_train)
+    np.testing.assert_array_equal(np.asarray(k2_direct), np.asarray(k2_after_resume))
+    assert t.update_steps >= 2  # logger step counter resumed, not reset
+
+
+def test_chunk_vmap_matches_plain_vmap():
+    import jax
+    import jax.numpy as jnp
+
+    from dgppo_fov_tpu.utils.tree import chunk_vmap
+
+    x = jnp.arange(22.0).reshape(11, 2)
+
+    def f(row):
+        return {"y": row * 3.0, "s": row.sum()}
+
+    plain = jax.vmap(f)(x)
+    chunked = chunk_vmap(f, 4)(x)  # 11 not divisible by 4
+    np.testing.assert_array_equal(np.asarray(plain["y"]), np.asarray(chunked["y"]))
+    np.testing.assert_array_equal(np.asarray(plain["s"]), np.asarray(chunked["s"]))
