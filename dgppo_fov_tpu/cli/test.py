@@ -55,10 +55,17 @@ def test(args):
     print(f"> Running test.py {args}")
     stamp_str = datetime.datetime.now().strftime("%m%d-%H%M")
     os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    if os.environ.get("DGPPO_JAX_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DGPPO_JAX_PLATFORM"])
+    if args.cpu:
+        # JAX_PLATFORMS env vars don't stick on images whose sitecustomize
+        # prepends an experimental platform — set the config before any
+        # backend init instead (must precede the first jax.devices() call).
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import jax.random as jr
     import numpy as np
@@ -66,6 +73,7 @@ def test(args):
 
     if args.debug:
         jax.config.update("jax_disable_jit", True)
+    print(f"> devices: {jax.devices()}")
     np.random.seed(args.seed)
 
     from ..algo import make_algo
@@ -195,7 +203,10 @@ def test(args):
 
 
 def main():
-    test(build_parser().parse_args())
+    from .debug import launch_debugger_on_exception
+
+    with launch_debugger_on_exception():
+        test(build_parser().parse_args())
 
 
 if __name__ == "__main__":

@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU additions
     parser.add_argument("--mesh", action="store_true", default=False,
                         help="Shard the env axis over all local devices.")
+    parser.add_argument("--max-step", type=int, default=None,
+                        help="Episode horizon override (default: env's).")
     parser.add_argument("--no-wandb", action="store_true", default=False)
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Write a jax.profiler trace of one train iteration here.")
@@ -88,22 +90,60 @@ def train(args):
     np.random.seed(args.seed)
     if args.debug:
         os.environ["WANDB_MODE"] = "disabled"
-        os.environ["JAX_DISABLE_JIT"] = "True"
+
+    import jax
+
+    # Headless platform override (JAX_PLATFORMS env vars don't stick on
+    # images whose sitecustomize prepends an experimental platform; used by
+    # the CLI-level tests to force the CPU backend in subprocesses).
+    if os.environ.get("DGPPO_JAX_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DGPPO_JAX_PLATFORM"])
+    if os.environ.get("DGPPO_NUM_CPU_DEVICES"):
+        jax.config.update("jax_num_cpu_devices", int(os.environ["DGPPO_NUM_CPU_DEVICES"]))
+
+    from ..parallel.mesh import init_distributed, make_mesh
+
+    # Multi-host: initialize jax.distributed BEFORE any backend touch so the
+    # mesh below spans every host's devices. Single-process runs are a no-op
+    # (init_distributed swallows only the no-cluster case). Triggered by
+    # --mesh or by explicit coordinator env config.
+    if args.mesh or "JAX_COORDINATOR_ADDRESS" in os.environ:
+        init_distributed()
+
+    if args.debug:
+        # Env-var JAX_DISABLE_JIT would be read too late here (and this
+        # image's sitecustomize interferes with jax env vars anyway) — set
+        # the config directly.
+        jax.config.update("jax_disable_jit", True)
+    if args.gpu is not None:
+        # Reference pins a CUDA device index (reference train.py:22-24,
+        # 160-161). TPU-side semantic: pin the i-th local device as the
+        # default placement device.
+        devices = jax.local_devices()
+        if args.gpu >= len(devices):
+            raise SystemExit(
+                f"--gpu {args.gpu}: only {len(devices)} local device(s) available"
+            )
+        jax.config.update("jax_default_device", devices[args.gpu])
 
     import yaml
 
     from ..algo import make_algo
     from ..env import make_env
-    from ..parallel.mesh import make_mesh
     from ..trainer.trainer import Trainer
+
+    is_proc0 = jax.process_index() == 0
+    print(f"> devices: {jax.devices()} (process {jax.process_index()}/{jax.process_count()})")
 
     env = make_env(
         env_id=args.env, num_agents=args.num_agents, num_obs=args.obs,
         n_rays=args.n_rays, full_observation=args.full_observation,
+        max_step=args.max_step,
     )
     env_test = make_env(
         env_id=args.env, num_agents=args.num_agents, num_obs=args.obs,
         n_rays=args.n_rays, full_observation=args.full_observation,
+        max_step=args.max_step,
     )
 
     algo = make_algo(
@@ -159,7 +199,7 @@ def train(args):
     rand_id = "".join([chr(rng_.integers(65, 91)) for _ in range(4)])
 
     start_time = int(datetime.datetime.now().strftime("%m%d%H%M%S"))
-    if not args.debug:
+    if not args.debug and is_proc0:
         os.makedirs(f"{args.log_dir}/{args.env}/{args.algo}", exist_ok=True)
     while os.path.exists(f"{args.log_dir}/{args.env}/{args.algo}/seed{args.seed}_{start_time}_{rand_id}"):
         start_time += 1
@@ -188,14 +228,17 @@ def train(args):
         n_env_test=args.n_env_test,
         seed=args.seed,
         params=train_params,
-        save_log=not args.debug,
+        # Multi-host: only process 0 writes logs/checkpoints/wandb — every
+        # process computes identical replicated params, so one writer
+        # suffices and avoids cross-process file races.
+        save_log=not args.debug and is_proc0,
         mesh=mesh,
-        use_wandb=not args.no_wandb,
-        profile_dir=args.profile_dir,
+        use_wandb=not args.no_wandb and is_proc0,
+        profile_dir=args.profile_dir if is_proc0 else None,
     )
 
     trainer.logger.config(vars(args) | algo.config)
-    if not args.debug:
+    if not args.debug and is_proc0:
         with open(f"{log_dir}/config.yaml", "w") as f:
             yaml.dump(vars(args), f)
             yaml.dump(algo.config, f)
@@ -207,7 +250,10 @@ def main():
     args = build_parser().parse_args()
     if args.load_checkpoint and args.load_step is None:
         raise SystemExit("--load-checkpoint requires --load-step")
-    train(args)
+    from .debug import launch_debugger_on_exception
+
+    with launch_debugger_on_exception():
+        train(args)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ Multi-host: call `init_distributed()` first (jax.distributed.initialize), then
 the same mesh spans all hosts' devices and the batch must be fed host-locally
 (jax.make_array_from_process_local_data).
 """
+import warnings
 from typing import Optional
 
 import jax
@@ -36,6 +37,10 @@ def init_distributed(
     Otherwise jax.distributed.initialize() is still ATTEMPTED so jax's
     cluster auto-detection (TPU pods, SLURM, GKE, MPI) kicks in — its
     "no cluster found" error is the single-process signal and is swallowed.
+
+    Env fallbacks for hand-rolled clusters (jax reads JAX_COORDINATOR_ADDRESS
+    itself but NOT process count/id — those normally come from cluster
+    auto-detection): JAX_NUM_PROCESSES and JAX_PROCESS_ID.
     """
     import os
 
@@ -44,15 +49,39 @@ def init_distributed(
         or num_processes is not None
         or "JAX_COORDINATOR_ADDRESS" in os.environ
     )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id
         )
-    except Exception:
+    except Exception as e:
         if explicit:
             raise
-        # No explicit config and no auto-detectable cluster: single process.
+        # A cluster that WAS auto-detected but failed to initialize must
+        # fail loudly — silently degrading to single-process would train a
+        # desynchronized model per host. Only "no cluster found" is the
+        # benign single-process signal.
+        if _cluster_env_detected():
+            raise
+        warnings.warn(
+            f"jax.distributed.initialize failed and no cluster environment was "
+            f"detected; continuing single-process. Swallowed: {type(e).__name__}: {e}"
+        )
         return
+
+
+def _cluster_env_detected() -> bool:
+    """True if any of jax's cluster auto-detectors sees a cluster env
+    (TPU pod / SLURM / OpenMPI / GKE / K8s)."""
+    try:
+        from jax._src.clusters import ClusterEnv
+
+        return any(c.is_env_present() for c in ClusterEnv._cluster_types)
+    except Exception:
+        return False
 
 
 def make_mesh(devices=None, axis_name: str = ENV_AXIS) -> Mesh:

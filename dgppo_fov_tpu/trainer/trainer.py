@@ -110,7 +110,12 @@ class Trainer:
         n_chips = self.mesh.devices.size if self.mesh is not None else 1
         env_steps_per_iter = self.n_env_train * self.env.max_episode_steps
 
-        for step in range(start_step, self.steps + 1):
+        from tqdm import tqdm
+
+        # Parity affordance (reference trainer.py:102); disable=None lets
+        # tqdm auto-silence itself when stderr is not a TTY (batch jobs).
+        for step in tqdm(range(start_step, self.steps + 1), initial=start_step,
+                         total=self.steps + 1, disable=None, dynamic_ncols=True):
             if step % self.eval_interval == 0:
                 eval_t0 = time.time()
                 test_rollouts: Rollout = test_fn(self.algo.params, test_keys)
