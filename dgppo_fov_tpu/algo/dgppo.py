@@ -1,16 +1,15 @@
 """DGPPO — Discrete GCBF Proximal Policy Optimization (the paper algorithm).
 
-Behavioral parity reference: /root/reference/dgppo/algo/dgppo.py:25-321.
-Deltas vs InforMARLLagr:
+Behavioral parity reference: /root/reference/dgppo/algo/dgppo.py:25-321
+(math and metric semantics only — the pipeline decomposition is
+`algo/pipeline.py`'s). Deltas vs InforMARLLagr:
  - Vh critic uses *local info only*, no RNN (use_lstm=False, decompose=True,
    use_global_info=False; dgppo.py:83-95)
  - a second *deterministic-policy* rollout per update fits Vh
    (dgppo.py:107-117, 139-141, 282-283, 296-321)
- - discrete-CBF advantage: cbf_deriv = (Vh_{t+1} - Vh_t)/dt + alpha*Vh_t,
-   Acbf = max(cbf_deriv + cbf_eps, 0) (dgppo.py:246-247)
- - merged advantage: task advantage only where all constraints satisfy the
-   discrete CBF condition, plus max_h(Acbf) * cbf_weight(step)
-   (dgppo.py:250-259); cbf weight x2 at 50%/75% when cbf_schedule
+ - discrete-CBF advantage (pipeline.discrete_cbf; dgppo.py:246-247) merged
+   with the task advantage via the safe-data gate (pipeline.fuse_task_with_cbf;
+   dgppo.py:250-259); cbf weight x2 at 50%/75% when cbf_schedule
    (dgppo.py:73-80)
 """
 import functools as ft
@@ -19,20 +18,28 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import jax.random as jr
-import jax.tree_util as jtu
-import numpy as np
 import optax
 from flax.training.train_state import TrainState
-from jax import lax
 
 from ..graph import BlockGraph
 from ..trainer.data import Rollout
 from ..trainer.rollout import test_rollout as det_rollout_fn
-from ..trainer.utils import compute_norm_and_clip, has_any_nan_or_inf
 from ..utils.typing import Array, Params
-from .gae import compute_dec_ocp_gae
 from .informarl_lagr import InforMARLLagr
 from .modules import ValueNet
+from .pipeline import (
+    discrete_cbf,
+    efocp_targets,
+    fit,
+    fuse_task_with_cbf,
+    minibatch_plan,
+    per_agent,
+    scan_minibatches,
+    strip_env_states,
+    take_chunks,
+    take_envs,
+    time_normalized,
+)
 
 
 class DGPPO(InforMARLLagr):
@@ -132,44 +139,53 @@ class DGPPO(InforMARLLagr):
         Vh, _ = self.Vh.get_value(params["Vh"], graph, rnn_state)
         return Vh
 
+    def _cbf_weight_at(self, step):
+        return self.cbf_schedule_fn(step) if self.cbf_schedule else self.cbf_weight
+
+    def _constraint_path(self, rollout: Rollout, vh_params, policy_params) -> Array:
+        """Vh along a batched rollout: the critic is stateless (the stored
+        policy carry is merely passed through), so every step evaluates in
+        parallel; the bootstrap advances the policy carry once at the final
+        graph before reading Vh there (dgppo.py:219-229). Returns the
+        (b, T+1, a, h) path."""
+        read_vh = ft.partial(self.get_Vh, params={"Vh": vh_params})
+        vh_steps = jax.vmap(jax.vmap(read_vh))(rollout.graph, rollout.rnn_states)
+
+        def bootstrap(graph, carries):
+            _, last_carry = self.act(graph, carries[-1], {"policy": policy_params})
+            return read_vh(graph, last_carry)
+
+        vh_final = jax.vmap(bootstrap)(rollout.final_graph, rollout.rnn_states)
+        return jnp.concatenate([vh_steps, vh_final[:, None]], axis=1)
+
     def update(self, rollout: Rollout, step: int) -> dict:
         key, self.key = jr.split(self.key)
 
         # Deterministic rollout for Vh fitting (dgppo.py:139-141).
-        b_key = jr.split(key, rollout.dones.shape[0])
-        det_rollout = self.det_rollout_fn(self.params, b_key)
+        det_rollout = self.det_rollout_fn(self.params, jr.split(key, rollout.dones.shape[0]))
 
-        rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
-        )
-        det_rollout = det_rollout._replace(
-            graph=det_rollout.graph.without_env_states(), final_graph=det_rollout.final_graph.without_env_states()
-        )
+        rollout = strip_env_states(rollout)
+        det_rollout = strip_env_states(det_rollout)
 
-        update_info = {}
-        assert rollout.dones.shape[0] * rollout.dones.shape[1] >= self.batch_size
+        info = {}
         for _ in range(self.epoch_ppo):
-            idx = np.arange(rollout.dones.shape[0])
-            np.random.shuffle(idx)
-            rnn_chunk_ids = jnp.arange(rollout.dones.shape[1])
-            rnn_chunk_ids = jnp.array(jnp.array_split(rnn_chunk_ids, rollout.dones.shape[1] // self.rnn_step))
-            batch_idx = jnp.array(jnp.array_split(idx, idx.shape[0] // (self.batch_size // rollout.dones.shape[1])))
+            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
             (
                 self.Vl_train_state,
                 self.Vh_train_state,
                 self.policy_train_state,
-                update_info,
+                info,
             ) = self.update_inner(
                 self.Vl_train_state,
                 self.Vh_train_state,
                 self.policy_train_state,
                 rollout,
                 det_rollout,
-                batch_idx,
-                rnn_chunk_ids,
+                minibatches,
+                chunk_ids,
                 jnp.array(step),
             )
-        return update_info
+        return info
 
     # Donating the train states lets XLA update params/opt-state in place —
     # they are immediately reassigned from the outputs at the call site
@@ -186,110 +202,67 @@ class DGPPO(InforMARLLagr):
         policy_train_state: TrainState,
         rollout: Rollout,
         det_rollout: Rollout,
-        batch_idx: Array,
-        rnn_chunk_ids: Array,
+        minibatches: Array,
+        chunk_ids: Array,
         step: Array,
     ):
-        b, T, a, _ = rollout.actions.shape
+        vl = self._unroll_Vl(rollout, Vl_train_state.params)
+        vh_path = self._constraint_path(rollout, Vh_train_state.params, policy_train_state.params)
 
-        # Vl over the stochastic rollout.
-        bT_Vl, bT_Vl_rnn_states, final_Vl_rnn_states = jax.vmap(
-            ft.partial(self.scan_Vl, init_Vl_rnn_state=self.init_Vl_rnn_state, Vl_params=Vl_train_state.params)
-        )(rollout)
+        # Task targets via Dec-EFOCP GAE (dgppo.py:231-237).
+        _, vl_targets = efocp_targets(
+            rollout.costs, -rollout.rewards, vh_path, vl.with_bootstrap, self.gamma, self.gae_lambda
+        )
+        task_adv = per_agent(time_normalized(vl_targets - vl.per_step), self.n_agents)
 
-        def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
-            return Vl.squeeze(0).squeeze(0)
+        # Safety terms and the gated merge (dgppo.py:246-259).
+        cbf = discrete_cbf(vh_path, self._env.dt, self.alpha, self.cbf_eps)
+        adv, safe_frac = fuse_task_with_cbf(task_adv, cbf, self._cbf_weight_at(step))
 
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
-        bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
-
-        # Vh per step (no RNN carry in the net config; rnn_states are passed
-        # through unchanged — dgppo.py:219-229).
-        bTah_Vh = jax.vmap(jax.vmap(ft.partial(self.get_Vh, params={"Vh": Vh_train_state.params})))(
-            rollout.graph, rollout.rnn_states
+        # Vh targets come from the deterministic rollout (dgppo.py:261-273).
+        # The task-value bootstrap row passed to the GAE is the STOCHASTIC
+        # rollout's — the reference passes it unchanged; kept for parity.
+        det_vh_path = self._constraint_path(det_rollout, Vh_train_state.params, policy_train_state.params)
+        det_vh_targets, _ = efocp_targets(
+            det_rollout.costs, -det_rollout.rewards, det_vh_path, vl.with_bootstrap,
+            self.gamma, self.gae_lambda,
         )
 
-        def final_Vh_fn(graph, rnn_state):
-            _, final_rnn_state = self.act(graph, rnn_state[-1], {"policy": policy_train_state.params})
-            return self.get_Vh(graph, final_rnn_state, {"Vh": Vh_train_state.params})
-
-        final_Vh = jax.vmap(final_Vh_fn)(rollout.final_graph, rollout.rnn_states)
-        bTp1ah_Vh = jnp.concatenate([bTah_Vh, final_Vh[:, None]], axis=1)
-
-        # Dec-EFOCP GAE (dgppo.py:231-237).
-        bTah_Qh, bT_Ql = jax.vmap(
-            ft.partial(compute_dec_ocp_gae, disc_gamma=self.gamma, gae_lambda=self.gae_lambda)
-        )(rollout.costs, -rollout.rewards, bTp1ah_Vh, bTp1_Vl)
-        del bTah_Qh
-
-        # Task advantage, normalized per env over time.
-        bT_Al = bT_Ql - bT_Vl
-        bT_Al = (bT_Al - bT_Al.mean(axis=1, keepdims=True)) / (bT_Al.std(axis=1, keepdims=True) + 1e-8)
-        bTa_Al = jnp.repeat(bT_Al[:, :, None], self.n_agents, axis=-1)
-
-        # Discrete-CBF safety advantage (dgppo.py:246-247).
-        bTah_cbf_deriv = (bTp1ah_Vh[:, 1:] - bTah_Vh) / self._env.dt + self.alpha * bTah_Vh
-        bTah_Acbf = jnp.maximum(bTah_cbf_deriv + self.cbf_eps, 0)
-
-        # Merge (dgppo.py:250-259).
-        bTa_is_safe = (bTah_cbf_deriv <= 0).min(axis=-1)
-        safe_data = bTa_is_safe.mean()
-        bTa_A = jnp.where(bTa_is_safe, bTa_Al, jnp.zeros_like(bTa_Al))
-        if self.cbf_schedule:
-            bTa_A += bTah_Acbf.max(axis=-1) * self.cbf_schedule_fn(step)
-        else:
-            bTa_A += bTah_Acbf.max(axis=-1) * self.cbf_weight
-        bTa_A = -bTa_A
-
-        # Vh targets from the deterministic rollout (dgppo.py:261-273).
-        bTah_Vh_det = jax.vmap(jax.vmap(ft.partial(self.get_Vh, params={"Vh": Vh_train_state.params})))(
-            det_rollout.graph, det_rollout.rnn_states
-        )
-        final_Vh_det = jax.vmap(final_Vh_fn)(det_rollout.final_graph, det_rollout.rnn_states)
-        bTp1ah_Vh_det = jnp.concatenate([bTah_Vh_det, final_Vh_det[:, None]], axis=1)
-        bTah_Qh_det, _ = jax.vmap(
-            ft.partial(compute_dec_ocp_gae, disc_gamma=self.gamma, gae_lambda=self.gae_lambda)
-        )(det_rollout.costs, -det_rollout.rewards, bTp1ah_Vh_det, bTp1_Vl)
-
-        def update_fn(carry, idx):
-            Vl_model, Vh_model, policy_model = carry
-            rollout_batch = jtu.tree_map(lambda x: x[idx], rollout)
-            det_rollout_batch = jtu.tree_map(lambda x: x[idx], det_rollout)
-            Vl_model, Vl_info = self.update_Vl(Vl_model, rollout_batch, bT_Ql[idx], bT_Vl_rnn_states[idx], rnn_chunk_ids)
-            Vh_model, Vh_info = self.update_Vh(
-                Vh_model, det_rollout_batch, bTah_Qh_det[idx], rnn_chunk_ids
+        def sweep(carry, env_idx):
+            vl_state, vh_state, pi_state = carry
+            batch = take_envs(rollout, env_idx)
+            vl_state, vl_info = self.update_Vl(
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
             )
-            policy_model, policy_info = self.update_policy(policy_model, rollout_batch, bTa_A[idx], rnn_chunk_ids)
-            return (Vl_model, Vh_model, policy_model), (Vl_info | Vh_info | policy_info)
+            vh_state, vh_info = self.update_Vh(
+                vh_state, take_envs(det_rollout, env_idx), det_vh_targets[env_idx], chunk_ids
+            )
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            return (vl_state, vh_state, pi_state), vl_info | vh_info | pi_info
 
-        (Vl_train_state, Vh_train_state, policy_train_state), info = lax.scan(
-            update_fn, (Vl_train_state, Vh_train_state, policy_train_state), batch_idx
+        (Vl_train_state, Vh_train_state, policy_train_state), info = scan_minibatches(
+            sweep, (Vl_train_state, Vh_train_state, policy_train_state), minibatches
         )
-        info = jtu.tree_map(lambda x: x[-1], info) | {"eval/safe_data": safe_data}
-        return Vl_train_state, Vh_train_state, policy_train_state, info
+        return Vl_train_state, Vh_train_state, policy_train_state, info | {"eval/safe_data": safe_frac}
 
-    def update_Vh(self, Vh_train_state, det_rollout: Rollout, bTah_Qh_det, rnn_chunk_ids):
+    def update_Vh(self, Vh_train_state, det_batch: Rollout, det_targets, chunk_ids):
         """L2 fit of Vh to deterministic-rollout GAE targets (dgppo.py:296-321).
 
-        The Vh replay reads the DET rollout's stored rnn_states (the policy's
+        The replay reads the DET rollout's stored rnn_states (the policy's
         carries along the det trajectory, dgppo.py:219-229). The reference's
         update_Vh takes an extra rnn-states argument it never reads
         (reference dgppo.py:296-321 — the stochastic rollout's carries were
         passed next to det graphs); that dead parameter is dropped here.
         """
-        bcT_rollout = jtu.tree_map(lambda x: x[:, rnn_chunk_ids], det_rollout)
-        bcTah_Qh_det = bTah_Qh_det[:, rnn_chunk_ids]
+        chunked = take_chunks(det_batch, chunk_ids)
+        chunk_targets = det_targets[:, chunk_ids]
 
-        def get_loss(params):
-            bcTah_Vh_det = jax.vmap(jax.vmap(jax.vmap(ft.partial(self.get_Vh, params={"Vh": params}))))(
-                bcT_rollout.graph, bcT_rollout.rnn_states
-            )
-            loss_Vh = optax.l2_loss(bcTah_Vh_det, bcTah_Qh_det).mean()
-            return loss_Vh, {"Vh/loss_Vh": loss_Vh}
+        def l2_to_det_targets(params):
+            read_vh = ft.partial(self.get_Vh, params={"Vh": params})
+            preds = jax.vmap(jax.vmap(jax.vmap(read_vh)))(chunked.graph, chunked.rnn_states)
+            return optax.l2_loss(preds, chunk_targets).mean()
 
-        grad_Vh, Vh_info = jax.grad(get_loss, has_aux=True)(Vh_train_state.params)
-        grad_has_nan = has_any_nan_or_inf(grad_Vh).astype(jnp.float32)
-        grad_Vh, grad_norm = compute_norm_and_clip(grad_Vh, self.max_grad_norm)
-        Vh_train_state = Vh_train_state.apply_gradients(grads=grad_Vh)
-        return Vh_train_state, Vh_info | {"Vh/grad_Vh_norm": grad_norm, "Vh/grad_Vh_has_nan": grad_has_nan}
+        return fit(
+            Vh_train_state, l2_to_det_targets, self.max_grad_norm, "Vh",
+            loss_key="Vh/loss_Vh", norm_key="Vh/grad_Vh_norm", nan_key="Vh/grad_Vh_has_nan",
+        )

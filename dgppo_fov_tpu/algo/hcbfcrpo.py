@@ -1,6 +1,9 @@
 """HCBFCRPO: DGPPO with a hand-crafted CBF (Vh = env.get_cost, no Vh training).
 
-Behavioral parity reference: /root/reference/dgppo/algo/hcbfcrpo.py:21-205.
+Behavioral parity reference: /root/reference/dgppo/algo/hcbfcrpo.py:21-205
+(math only — the pipeline decomposition is `algo/pipeline.py`'s). The whole
+delta vs DGPPO: the constraint value is the env's analytic cost function, so
+there is no Vh net to fit and no deterministic rollout to fit it on.
 """
 import functools as ft
 from typing import Optional
@@ -8,16 +11,23 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import jax.random as jr
-import jax.tree_util as jtu
-import numpy as np
 from flax.training.train_state import TrainState
-from jax import lax
 
 from ..graph import BlockGraph
 from ..trainer.data import Rollout
 from ..utils.typing import Array, Params
 from .dgppo import DGPPO
-from .gae import compute_dec_ocp_gae
+from .pipeline import (
+    discrete_cbf,
+    efocp_targets,
+    fuse_task_with_cbf,
+    minibatch_plan,
+    per_agent,
+    scan_minibatches,
+    strip_env_states,
+    take_envs,
+    time_normalized,
+)
 
 
 class HCBFCRPO(DGPPO):
@@ -26,23 +36,16 @@ class HCBFCRPO(DGPPO):
         return self._env.get_cost(graph)
 
     def update(self, rollout: Rollout, step: int) -> dict:
-        key, self.key = jr.split(self.key)
-        rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
-        )
+        _, self.key = jr.split(self.key)
+        rollout = strip_env_states(rollout)
 
-        update_info = {}
-        assert rollout.dones.shape[0] * rollout.dones.shape[1] >= self.batch_size
+        info = {}
         for _ in range(self.epoch_ppo):
-            idx = np.arange(rollout.dones.shape[0])
-            np.random.shuffle(idx)
-            rnn_chunk_ids = jnp.arange(rollout.dones.shape[1])
-            rnn_chunk_ids = jnp.array(jnp.array_split(rnn_chunk_ids, rollout.dones.shape[1] // self.rnn_step))
-            batch_idx = jnp.array(jnp.array_split(idx, idx.shape[0] // (self.batch_size // rollout.dones.shape[1])))
-            self.Vl_train_state, self.policy_train_state, update_info = self.update_inner(
-                self.Vl_train_state, self.policy_train_state, rollout, batch_idx, rnn_chunk_ids, jnp.array(step)
+            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
+            self.Vl_train_state, self.policy_train_state, info = self.update_inner(
+                self.Vl_train_state, self.policy_train_state, rollout, minibatches, chunk_ids, jnp.array(step)
             )
-        return update_info
+        return info
 
     # Donation: see DGPPO.update_inner.
     @ft.partial(jax.jit, static_argnums=(0,), donate_argnames=("Vl_train_state", "policy_train_state"))
@@ -51,64 +54,33 @@ class HCBFCRPO(DGPPO):
         Vl_train_state: TrainState,
         policy_train_state: TrainState,
         rollout: Rollout,
-        batch_idx: Array,
-        rnn_chunk_ids: Array,
+        minibatches: Array,
+        chunk_ids: Array,
         step: Array,
     ):
-        b, T, a, _ = rollout.actions.shape
+        vl = self._unroll_Vl(rollout, Vl_train_state.params)
+        # get_Vh ignores its params here (analytic CBF), so _constraint_path
+        # needs no critic weights.
+        vh_path = self._constraint_path(rollout, None, policy_train_state.params)
 
-        bT_Vl, bT_Vl_rnn_states, final_Vl_rnn_states = jax.vmap(
-            ft.partial(self.scan_Vl, init_Vl_rnn_state=self.init_Vl_rnn_state, Vl_params=Vl_train_state.params)
-        )(rollout)
-
-        def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
-            return Vl.squeeze(0).squeeze(0)
-
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
-        bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
-
-        bTah_Vh = jax.vmap(jax.vmap(ft.partial(self.get_Vh, params={"Vh": None})))(
-            rollout.graph, rollout.rnn_states
+        _, vl_targets = efocp_targets(
+            rollout.costs, -rollout.rewards, vh_path, vl.with_bootstrap, self.gamma, self.gae_lambda
         )
+        task_adv = per_agent(time_normalized(vl_targets - vl.per_step), self.n_agents)
 
-        def final_Vh_fn(graph, rnn_state):
-            _, final_rnn_state = self.act(graph, rnn_state[-1], {"policy": policy_train_state.params})
-            return self.get_Vh(graph, final_rnn_state, {"Vh": None})
+        cbf = discrete_cbf(vh_path, self._env.dt, self.alpha, self.cbf_eps)
+        adv, safe_frac = fuse_task_with_cbf(task_adv, cbf, self._cbf_weight_at(step))
 
-        final_Vh = jax.vmap(final_Vh_fn)(rollout.final_graph, rollout.rnn_states)
-        bTp1ah_Vh = jnp.concatenate([bTah_Vh, final_Vh[:, None]], axis=1)
+        def sweep(carry, env_idx):
+            vl_state, pi_state = carry
+            batch = take_envs(rollout, env_idx)
+            vl_state, vl_info = self.update_Vl(
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
+            )
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            return (vl_state, pi_state), vl_info | pi_info
 
-        bTah_Qh, bT_Ql = jax.vmap(
-            ft.partial(compute_dec_ocp_gae, disc_gamma=self.gamma, gae_lambda=self.gae_lambda)
-        )(rollout.costs, -rollout.rewards, bTp1ah_Vh, bTp1_Vl)
-        del bTah_Qh
-
-        bT_Al = bT_Ql - bT_Vl
-        bT_Al = (bT_Al - bT_Al.mean(axis=1, keepdims=True)) / (bT_Al.std(axis=1, keepdims=True) + 1e-8)
-        bTa_Al = jnp.repeat(bT_Al[:, :, None], self.n_agents, axis=-1)
-
-        bTah_cbf_deriv = (bTp1ah_Vh[:, 1:] - bTah_Vh) / self._env.dt + self.alpha * bTah_Vh
-        bTah_Acbf = jnp.maximum(bTah_cbf_deriv + self.cbf_eps, 0)
-
-        bTa_is_safe = (bTah_cbf_deriv <= 0).min(axis=-1)
-        safe_data = bTa_is_safe.mean()
-        bTa_A = jnp.where(bTa_is_safe, bTa_Al, jnp.zeros_like(bTa_Al))
-        if self.cbf_schedule:
-            bTa_A += bTah_Acbf.max(axis=-1) * self.cbf_schedule_fn(step)
-        else:
-            bTa_A += bTah_Acbf.max(axis=-1) * self.cbf_weight
-        bTa_A = -bTa_A
-
-        def update_fn(carry, idx):
-            Vl_model, policy_model = carry
-            rollout_batch = jtu.tree_map(lambda x: x[idx], rollout)
-            Vl_model, Vl_info = self.update_Vl(Vl_model, rollout_batch, bT_Ql[idx], bT_Vl_rnn_states[idx], rnn_chunk_ids)
-            policy_model, policy_info = self.update_policy(policy_model, rollout_batch, bTa_A[idx], rnn_chunk_ids)
-            return (Vl_model, policy_model), (Vl_info | policy_info)
-
-        (Vl_train_state, policy_train_state), info = lax.scan(
-            update_fn, (Vl_train_state, policy_train_state), batch_idx
+        (Vl_train_state, policy_train_state), info = scan_minibatches(
+            sweep, (Vl_train_state, policy_train_state), minibatches
         )
-        info = jtu.tree_map(lambda x: x[-1], info) | {"eval/safe_data": safe_data}
-        return Vl_train_state, policy_train_state, info
+        return Vl_train_state, policy_train_state, info | {"eval/safe_data": safe_frac}

@@ -1,20 +1,21 @@
 """InforMARL: MAPPO with a GNN encoder (baseline PPO algorithm).
 
-Behavioral parity reference: /root/reference/dgppo/algo/informarl.py:28-472.
-Structure preserved exactly:
+Behavioral parity reference: /root/reference/dgppo/algo/informarl.py:28-472
+(math and metric semantics only — the update pipeline here is decomposed
+into the shared stages of `algo/pipeline.py`):
  - jit-vmapped rollout collector (informarl.py:177-186,254-256)
- - update: host-side env shuffle into minibatches of whole trajectories
-   (informarl.py:268-273)
- - update_inner (jit, donates train states): scan Vl over T, bootstrap final
-   value, GAE with cost folded into the loss via cost_weight schedule
-   (informarl.py:324-331), per-env advantage normalization over time
-   (informarl.py:334-336), lax.scan over minibatches of {update_Vl,
-   update_policy}
- - update_policy re-evaluates log-probs by scanning the RNN in chunks with
-   zero initial state (truncated-BPTT, informarl.py:405-438); PPO clip loss +
-   entropy bonus
- - update_Vl: L2 to GAE targets (informarl.py:357-385)
- - gradient global-norm clip + NaN counters + optax.apply_if_finite(1e6)
+ - per-epoch host-side shuffle into minibatches of whole trajectories
+   (informarl.py:268-273 — pipeline.minibatch_plan)
+ - update_inner (jit, donates train states): critic unroll + bootstrap
+   (pipeline.unroll_value), Dec-EFOCP GAE targets with the cost penalty
+   folded into the stage loss via the scheduled weight (informarl.py:324-331),
+   per-env time-normalized advantage (informarl.py:334-336), then a
+   minibatch scan of {fit Vl, fit policy}
+ - policy fit re-evaluates log-probs chunk-wise from zero RNN carries
+   (truncated BPTT, informarl.py:405-438); PPO clip loss + entropy bonus
+ - Vl fit: L2 to GAE targets (informarl.py:357-385)
+ - shared rails: gradient global-norm clip + NaN counters +
+   optax.apply_if_finite(1e6) (pipeline.fit)
 """
 import functools as ft
 import os
@@ -24,8 +25,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import jax.random as jr
-import jax.tree_util as jtu
-import numpy as np
 import optax
 from flax.training.train_state import TrainState
 from jax import lax
@@ -33,11 +32,24 @@ from jax import lax
 from ..graph import nominal_graph
 from ..trainer.data import Rollout
 from ..trainer.rollout import rollout as rollout_fn
-from ..trainer.utils import compute_norm_and_clip, has_any_nan_or_inf
 from ..utils.typing import Action, Array, Params, PRNGKey
 from .base import Algorithm
-from .gae import compute_dec_ocp_gae
 from .modules import PPOPolicy, ValueNet
+from .pipeline import (
+    ValuePath,
+    efocp_targets,
+    fit,
+    fresh_chunk_carries,
+    minibatch_plan,
+    per_agent,
+    ppo_clip_objective,
+    scan_minibatches,
+    strip_env_states,
+    take_chunks,
+    take_envs,
+    time_normalized,
+    unroll_value,
+)
 
 
 class InforMARL(Algorithm):
@@ -206,27 +218,18 @@ class InforMARL(Algorithm):
 
     # ------------------------------------------------------------------------
     def update(self, rollout: Rollout, step: int) -> dict:
-        key, self.key = jr.split(self.key)
+        # Advance the key stream exactly as the reference does per update
+        # (the split's first half is unused here).
+        _, self.key = jr.split(self.key)
+        rollout = strip_env_states(rollout)
 
-        # Strip env_states before entering jit (informarl.py:261-264).
-        rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
-        )
-
-        update_info = {}
-        assert rollout.dones.shape[0] * rollout.dones.shape[1] >= self.batch_size
+        info = {}
         for _ in range(self.epoch_ppo):
-            idx = np.arange(rollout.dones.shape[0])
-            np.random.shuffle(idx)
-            rnn_chunk_ids = jnp.arange(rollout.dones.shape[1])
-            rnn_chunk_ids = jnp.array(jnp.array_split(rnn_chunk_ids, rollout.dones.shape[1] // self.rnn_step))
-            batch_idx = jnp.array(jnp.array_split(idx, idx.shape[0] // (self.batch_size // rollout.dones.shape[1])))
-            Vl_train_state, policy_train_state, update_info = self.update_inner(
-                self.Vl_train_state, self.policy_train_state, rollout, batch_idx, rnn_chunk_ids, jnp.array(step)
+            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
+            self.Vl_train_state, self.policy_train_state, info = self.update_inner(
+                self.Vl_train_state, self.policy_train_state, rollout, minibatches, chunk_ids, jnp.array(step)
             )
-            self.Vl_train_state = Vl_train_state
-            self.policy_train_state = policy_train_state
-        return update_info
+        return info
 
     def scan_Vl(self, rollout: Rollout, init_Vl_rnn_state: Array, Vl_params: Params):
         # Per-step scan of the FULL critic (GNN + head + GRU) on purpose.
@@ -246,8 +249,18 @@ class InforMARL(Algorithm):
             value, new_rnn_state = self.Vl.get_value(Vl_params, graph, rnn_state)
             return new_rnn_state, (value, rnn_state)
 
-        final_rnn_state, (T11_Vl, T_rnn_states) = lax.scan(body, init_Vl_rnn_state, rollout.graph)
-        return T11_Vl.squeeze(1).squeeze(1), T_rnn_states, final_rnn_state
+        final_rnn_state, (values, carries) = lax.scan(body, init_Vl_rnn_state, rollout.graph)
+        return values.squeeze(1).squeeze(1), carries, final_rnn_state
+
+    def _unroll_Vl(self, rollout: Rollout, params: Params) -> ValuePath:
+        """Vl along the batched trajectory, with the final-state bootstrap."""
+        scan = ft.partial(self.scan_Vl, init_Vl_rnn_state=self.init_Vl_rnn_state, Vl_params=params)
+
+        def bootstrap(graph, carry):
+            value, _ = self.Vl.get_value(params, graph, carry)
+            return value.squeeze(0).squeeze(0)
+
+        return unroll_value(scan, bootstrap, rollout)
 
     @ft.partial(jax.jit, static_argnums=(0,), donate_argnames=("Vl_train_state", "policy_train_state"))
     def update_inner(
@@ -255,75 +268,58 @@ class InforMARL(Algorithm):
         Vl_train_state: TrainState,
         policy_train_state: TrainState,
         rollout: Rollout,
-        batch_idx: Array,
-        rnn_chunk_ids: Array,
+        minibatches: Array,
+        chunk_ids: Array,
         step: Array,
     ):
-        b, T, a, _ = rollout.actions.shape
+        vl = self._unroll_Vl(rollout, Vl_train_state.params)
 
-        bT_Vl, bT_Vl_rnn_states, final_Vl_rnn_states = jax.vmap(
-            ft.partial(self.scan_Vl, init_Vl_rnn_state=self.init_Vl_rnn_state, Vl_params=Vl_train_state.params)
-        )(rollout)
-
-        def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
-            return Vl.squeeze(0).squeeze(0)
-
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
-        bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
-
-        # GAE with cost folded into the loss (informarl.py:324-331).
-        cost_weight = self.cost_schedule_fn(step)
-        bTp1ah_Vh = jnp.broadcast_to(
-            bTp1_Vl[:, :, None, None], (b, T + 1, self.n_agents, rollout.costs.shape[-1])
+        # Baseline PPO has no learned constraint critic; the Dec-EFOCP GAE
+        # kernel still wants a constraint-value path, so alias the task value
+        # across agents and constraints (informarl.py:318-322).
+        n_env, horizon = rollout.rewards.shape
+        vh_alias = jnp.broadcast_to(
+            vl.with_bootstrap[:, :, None, None],
+            (n_env, horizon + 1, self.n_agents, rollout.costs.shape[-1]),
         )
-        bT_l = -rollout.rewards + cost_weight * jnp.maximum(rollout.costs, 0.0).sum(axis=-1).sum(axis=-1)
-        bTah_Qh, bT_Ql = jax.vmap(
-            ft.partial(compute_dec_ocp_gae, disc_gamma=self.gamma, gae_lambda=self.gae_lambda)
-        )(rollout.costs, bT_l, bTp1ah_Vh, bTp1_Vl)
-        del bTah_Qh
 
-        bT_Al = bT_Ql - bT_Vl
-        bT_Al = (bT_Al - bT_Al.mean(axis=1, keepdims=True)) / (bT_Al.std(axis=1, keepdims=True) + 1e-8)
-        bTa_A = -jnp.repeat(bT_Al[:, :, None], self.n_agents, axis=-1)
-
-        def update_fn(carry, idx):
-            Vl_model, policy_model = carry
-            rollout_batch = jtu.tree_map(lambda x: x[idx], rollout)
-            Vl_model, Vl_info = self.update_Vl(Vl_model, rollout_batch, bT_Ql[idx], bT_Vl_rnn_states[idx], rnn_chunk_ids)
-            policy_model, policy_info = self.update_policy(policy_model, rollout_batch, bTa_A[idx], rnn_chunk_ids)
-            return (Vl_model, policy_model), (Vl_info | policy_info)
-
-        (Vl_train_state, policy_train_state), info = lax.scan(
-            update_fn, (Vl_train_state, policy_train_state), batch_idx
+        # Stage loss = -reward + scheduled cost penalty (informarl.py:324-331).
+        penalty = self.cost_schedule_fn(step) * jnp.maximum(rollout.costs, 0.0).sum(axis=(-2, -1))
+        _, vl_targets = efocp_targets(
+            rollout.costs, -rollout.rewards + penalty, vh_alias, vl.with_bootstrap,
+            self.gamma, self.gae_lambda,
         )
-        info = jtu.tree_map(lambda x: x[-1], info)
+
+        adv = -per_agent(time_normalized(vl_targets - vl.per_step), self.n_agents)
+
+        def sweep(carry, env_idx):
+            vl_state, pi_state = carry
+            batch = take_envs(rollout, env_idx)
+            vl_state, vl_info = self.update_Vl(
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
+            )
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            return (vl_state, pi_state), vl_info | pi_info
+
+        (Vl_train_state, policy_train_state), info = scan_minibatches(
+            sweep, (Vl_train_state, policy_train_state), minibatches
+        )
         return Vl_train_state, policy_train_state, info
 
     # ------------------------------------------------------------------------
-    def update_Vl(self, Vl_train_state, rollout: Rollout, bT_targets, bT_rnn_states, rnn_chunk_ids):
-        bcT_rollout = jtu.tree_map(lambda x: x[:, rnn_chunk_ids], rollout)
-        bcT_targets = bT_targets[:, rnn_chunk_ids]
-        # Zero initial RNN state per chunk (truncated BPTT, informarl.py:367).
-        bc_rnn_state_inits = jnp.zeros_like(bT_rnn_states[:, rnn_chunk_ids[:, 0]])
+    def update_Vl(self, Vl_train_state, rollout: Rollout, targets, carries, chunk_ids):
+        chunked = take_chunks(rollout, chunk_ids)
+        chunk_targets = targets[:, chunk_ids]
+        carry0 = fresh_chunk_carries(carries, chunk_ids)
 
-        def get_loss(params):
-            bcT_Vl, _, _ = jax.vmap(jax.vmap(ft.partial(self.scan_Vl, Vl_params=params)))(
-                bcT_rollout, bc_rnn_state_inits
-            )
-            return optax.l2_loss(bcT_Vl, bcT_targets).mean()
+        def l2_to_targets(params):
+            preds, _, _ = jax.vmap(jax.vmap(ft.partial(self.scan_Vl, Vl_params=params)))(chunked, carry0)
+            return optax.l2_loss(preds, chunk_targets).mean()
 
-        loss, grad = jax.value_and_grad(get_loss)(Vl_train_state.params)
-        critic_has_nan = has_any_nan_or_inf(grad).astype(jnp.float32)
-        grad, grad_norm = compute_norm_and_clip(grad, self.max_grad_norm)
-        Vl_train_state = Vl_train_state.apply_gradients(grads=grad)
-        return Vl_train_state, {
-            "Vl/loss": loss,
-            "Vl/grad_norm": grad_norm,
-            "Vl/has_nan": critic_has_nan,
-            "Vl/max_target": jnp.max(bT_targets),
-            "Vl/min_target": jnp.min(bT_targets),
-        }
+        return fit(
+            Vl_train_state, l2_to_targets, self.max_grad_norm, "Vl",
+            extra_metrics={"Vl/max_target": jnp.max(targets), "Vl/min_target": jnp.min(targets)},
+        )
 
     def scan_eval_action(self, T_graphs, Ta_actions, init_rnn_state, T_action_keys, actor_params):
         # Per-step scan of the full policy on purpose — see the measured
@@ -335,55 +331,39 @@ class InforMARL(Algorithm):
             log_pi, entropy, new_rnn_state = self.policy.eval_action(actor_params, graph, action, rnn_state, key)
             return new_rnn_state, (log_pi, entropy, rnn_state)
 
-        final_rnn_state, (Ta_log_pis, Ta_entropies, T_rnn_states) = lax.scan(
+        final_rnn_state, (log_pis, entropies, carries) = lax.scan(
             body, init_rnn_state, (T_graphs, Ta_actions, T_action_keys)
         )
-        return Ta_log_pis, Ta_entropies, T_rnn_states, final_rnn_state
+        return log_pis, entropies, carries, final_rnn_state
 
-    def update_policy(self, policy_train_state, rollout: Rollout, bTa_A, rnn_chunk_ids):
-        bcT_graph = jtu.tree_map(lambda x: x[:, rnn_chunk_ids], rollout.graph)
-        bcTa_action = rollout.actions[:, rnn_chunk_ids]
-        bcTa_log_pis_old = rollout.log_pis[:, rnn_chunk_ids]
-        bcTa_A = bTa_A[:, rnn_chunk_ids]
-        bc_rnn_state_inits = jnp.zeros_like(rollout.rnn_states[:, rnn_chunk_ids[:, 0]])
+    def _entropy_keys(self, rollout: Rollout, optimizer_step) -> Array:
+        """One PRNG key per (env, t) for the entropy estimator's sample,
+        keyed off the optimizer step so PPO epochs differ (informarl.py:405-416)."""
+        n_env, horizon = rollout.log_pis.shape[:2]
+        keys = jr.split(jr.fold_in(self.key, optimizer_step), n_env * horizon)
+        return keys.reshape(n_env, horizon, 2)
 
-        action_key = jr.fold_in(self.key, policy_train_state.step)
-        action_keys = jr.split(action_key, rollout.actions.shape[0] * rollout.actions.shape[1]).reshape(
-            rollout.actions.shape[:2] + (2,)
-        )
-        bcT_action_keys = action_keys[:, rnn_chunk_ids]
+    def update_policy(self, policy_train_state, rollout: Rollout, adv, chunk_ids):
+        graphs = take_chunks(rollout.graph, chunk_ids)
+        actions = rollout.actions[:, chunk_ids]
+        logp_old = rollout.log_pis[:, chunk_ids]
+        chunk_adv = adv[:, chunk_ids]
+        carry0 = fresh_chunk_carries(rollout.rnn_states, chunk_ids)
+        chunk_keys = self._entropy_keys(rollout, policy_train_state.step)[:, chunk_ids]
 
-        def get_loss(params):
-            bcTa_log_pis, bcTa_entropy, _, _ = jax.vmap(
+        def surrogate(params):
+            logp_new, entropy, _, _ = jax.vmap(
                 jax.vmap(ft.partial(self.scan_eval_action, actor_params=params))
-            )(bcT_graph, bcTa_action, bc_rnn_state_inits, bcT_action_keys)
+            )(graphs, actions, carry0, chunk_keys)
+            clip_loss, clip_metrics = ppo_clip_objective(logp_new, logp_old, chunk_adv, self.clip_eps)
+            mean_entropy = entropy.mean()
+            loss = clip_loss - self.coef_ent * mean_entropy
+            return loss, clip_metrics | {"policy/entropy": mean_entropy}
 
-            bcTa_ratio = jnp.exp(bcTa_log_pis - bcTa_log_pis_old)
-            loss_policy1 = -bcTa_ratio * bcTa_A
-            loss_policy2 = -jnp.clip(bcTa_ratio, 1.0 - self.clip_eps, 1.0 + self.clip_eps) * bcTa_A
-            clip_frac = jnp.mean(loss_policy2 > loss_policy1)
-            loss_policy = jnp.maximum(loss_policy1, loss_policy2).mean()
-            total_entropy = bcTa_entropy.mean()
-            policy_loss = loss_policy - self.coef_ent * total_entropy
-            tv_dist = 0.5 * jnp.mean(jnp.abs(bcTa_ratio - 1.0))
-            return policy_loss, {
-                "policy/clip_frac": clip_frac,
-                "policy/entropy": total_entropy,
-                "policy/total_variation_dist": tv_dist,
-            }
-
-        (loss, info), grad = jax.value_and_grad(get_loss, has_aux=True)(policy_train_state.params)
-        policy_has_nan = has_any_nan_or_inf(grad).astype(jnp.float32)
-        grad, grad_norm = compute_norm_and_clip(grad, self.max_grad_norm)
-        policy_train_state = policy_train_state.apply_gradients(grads=grad)
-
-        info = {
-            "policy/loss": loss,
-            "policy/grad_norm": grad_norm,
-            "policy/has_nan": policy_has_nan,
-            "policy/log_pi_min": rollout.log_pis.min(),
-        } | info
-        return policy_train_state, info
+        return fit(
+            policy_train_state, surrogate, self.max_grad_norm, "policy", has_aux=True,
+            extra_metrics={"policy/log_pi_min": rollout.log_pis.min()},
+        )
 
     # ------------------------------------------------------------------------
     def save(self, save_dir: str, step: int):

@@ -1,12 +1,13 @@
 """InforMARL-Lagrangian: MAPPO with per-(agent,constraint) Lagrange multipliers.
 
-Behavioral parity reference: /root/reference/dgppo/algo/informarl_lagr.py:25-327.
-Deltas vs InforMARL:
+Behavioral parity reference: /root/reference/dgppo/algo/informarl_lagr.py:25-327
+(math and metric semantics only — the pipeline decomposition is
+`algo/pipeline.py`'s). Deltas vs InforMARL:
  - decomposed Vh critic with global info (informarl_lagr.py:70-82)
  - GAE on clip(costs, min=0) (informarl_lagr.py:209-214)
  - advantage = -Al_norm - mean(lagr * Ah_norm) (informarl_lagr.py:216-231)
- - multiplier ascent lagr <- relu(lagr - lr * delta), with
-   delta = -mean(Vh*(1-gamma) + ratio*Ah) (informarl_lagr.py:286-309)
+ - multiplier ascent lagr <- relu(lagr - lr * slack), with
+   slack = -mean(Vh*(1-gamma) + ratio*Ah) (informarl_lagr.py:286-309)
 """
 import functools as ft
 import os
@@ -15,18 +16,28 @@ import pickle
 import jax
 import jax.numpy as jnp
 import jax.random as jr
-import jax.tree_util as jtu
-import numpy as np
 import optax
 from flax.training.train_state import TrainState
 from jax import lax
 
 from ..trainer.data import Rollout
-from ..trainer.utils import compute_norm_and_clip, has_any_nan_or_inf
 from ..utils.typing import Array, Params
-from .gae import compute_dec_ocp_gae
 from .informarl import InforMARL
 from .modules import ValueNet
+from .pipeline import (
+    ValuePath,
+    efocp_targets,
+    fit,
+    fresh_chunk_carries,
+    minibatch_plan,
+    per_agent,
+    scan_minibatches,
+    strip_env_states,
+    take_chunks,
+    take_envs,
+    time_normalized,
+    unroll_value,
+)
 
 
 class InforMARLLagr(InforMARL):
@@ -115,35 +126,28 @@ class InforMARLLagr(InforMARL):
         }
 
     def update(self, rollout: Rollout, step: int) -> dict:
-        key, self.key = jr.split(self.key)
-        rollout = rollout._replace(
-            graph=rollout.graph.without_env_states(), final_graph=rollout.final_graph.without_env_states()
-        )
+        _, self.key = jr.split(self.key)
+        rollout = strip_env_states(rollout)
 
-        update_info = {}
-        assert rollout.dones.shape[0] * rollout.dones.shape[1] >= self.batch_size
+        info = {}
         for _ in range(self.epoch_ppo):
-            idx = np.arange(rollout.dones.shape[0])
-            np.random.shuffle(idx)
-            rnn_chunk_ids = jnp.arange(rollout.dones.shape[1])
-            rnn_chunk_ids = jnp.array(jnp.array_split(rnn_chunk_ids, rollout.dones.shape[1] // self.rnn_step))
-            batch_idx = jnp.array(jnp.array_split(idx, idx.shape[0] // (self.batch_size // rollout.dones.shape[1])))
+            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
             (
                 self.Vl_train_state,
                 self.Vh_train_state,
                 self.policy_train_state,
                 self.ah_lagr,
-                update_info,
+                info,
             ) = self.update_inner(
                 self.Vl_train_state,
                 self.Vh_train_state,
                 self.policy_train_state,
                 self.ah_lagr,
                 rollout,
-                batch_idx,
-                rnn_chunk_ids,
+                minibatches,
+                chunk_ids,
             )
-        return update_info
+        return info
 
     def scan_Vh(self, rollout: Rollout, init_rnn_state: Array, Vh_params: Params):
         # Per-step scan on purpose — see the trunk-hoisting negative result
@@ -155,10 +159,21 @@ class InforMARLLagr(InforMARL):
             Vh, new_rnn_state = self.Vh.get_value(Vh_params, graph, rnn_state)
             return new_rnn_state, (Vh, rnn_state)
 
-        final_rnn_state, (Tah_Vh, T_rnn_states) = lax.scan(body, init_rnn_state, rollout.graph)
-        return Tah_Vh, T_rnn_states, final_rnn_state
+        final_rnn_state, (values, carries) = lax.scan(body, init_rnn_state, rollout.graph)
+        return values, carries, final_rnn_state
 
-    # Donation: see DGPPO.update_inner.
+    def _unroll_Vh(self, rollout: Rollout, params: Params) -> ValuePath:
+        """Recurrent Vh along the batched trajectory, with bootstrap."""
+        scan = ft.partial(self.scan_Vh, init_rnn_state=self.init_Vh_rnn_state, Vh_params=params)
+
+        def bootstrap(graph, carry):
+            Vh, _ = self.Vh.get_value(params, graph, carry)
+            return Vh
+
+        return unroll_value(scan, bootstrap, rollout)
+
+    # Donating the train states lets XLA update params/opt-state in place —
+    # they are immediately reassigned from the outputs at the call site.
     @ft.partial(
         jax.jit,
         static_argnums=(0,),
@@ -171,99 +186,72 @@ class InforMARLLagr(InforMARL):
         policy_train_state: TrainState,
         ah_lagr: Array,
         rollout: Rollout,
-        batch_idx: Array,
-        rnn_chunk_ids: Array,
+        minibatches: Array,
+        chunk_ids: Array,
     ):
-        b, T, a, _ = rollout.actions.shape
+        vl = self._unroll_Vl(rollout, Vl_train_state.params)
+        vh = self._unroll_Vh(rollout, Vh_train_state.params)
 
-        bT_Vl, bT_Vl_rnn_states, final_Vl_rnn_states = jax.vmap(
-            ft.partial(self.scan_Vl, init_Vl_rnn_state=self.init_Vl_rnn_state, Vl_params=Vl_train_state.params)
-        )(rollout)
-
-        def final_Vl_fn(graph, rnn_state):
-            Vl, _ = self.Vl.get_value(Vl_train_state.params, graph, rnn_state)
-            return Vl.squeeze(0).squeeze(0)
-
-        b_final_Vl = jax.vmap(final_Vl_fn)(rollout.final_graph, final_Vl_rnn_states)
-        bTp1_Vl = jnp.concatenate([bT_Vl, b_final_Vl[:, None]], axis=1)
-
-        bTah_Vh, bT_Vh_rnn_states, final_Vh_rnn_states = jax.vmap(
-            ft.partial(self.scan_Vh, init_rnn_state=self.init_Vh_rnn_state, Vh_params=Vh_train_state.params)
-        )(rollout)
-
-        def final_Vh_fn(graph, rnn_state):
-            Vh, _ = self.Vh.get_value(Vh_train_state.params, graph, rnn_state)
-            return Vh
-
-        bah_final_Vh = jax.vmap(final_Vh_fn)(rollout.final_graph, final_Vh_rnn_states)
-        bTp1ah_Vh = jnp.concatenate([bTah_Vh, bah_final_Vh[:, None]], axis=1)
-
-        bTah_Qh, bT_Ql = jax.vmap(
-            ft.partial(compute_dec_ocp_gae, disc_gamma=self.gamma, gae_lambda=self.gae_lambda)
-        )(jnp.clip(rollout.costs, min=0), -rollout.rewards, bTp1ah_Vh, bTp1_Vl)
-
-        bT_Al = bT_Ql - bT_Vl
-        bT_Al = (bT_Al - bT_Al.mean(axis=1, keepdims=True)) / (bT_Al.std(axis=1, keepdims=True) + 1e-8)
-        bTa_Al = -jnp.repeat(bT_Al[:, :, None], self.n_agents, axis=-1)
-
-        bTah_Ah = bTah_Qh - bTah_Vh
-        bTah_Ah = (bTah_Ah - bTah_Ah.mean(axis=1, keepdims=True)) / (bTah_Ah.std(axis=1, keepdims=True) + 1e-8)
-
-        bTa_A = bTa_Al - (bTah_Ah * ah_lagr[None, None]).mean(axis=-1)
-
-        def update_fn(carry, idx):
-            Vl_model, Vh_model, policy_model, lagr = carry
-            rollout_batch = jtu.tree_map(lambda x: x[idx], rollout)
-            Vl_model, Vl_info = self.update_Vl(Vl_model, rollout_batch, bT_Ql[idx], bT_Vl_rnn_states[idx], rnn_chunk_ids)
-            Vh_model, Vh_info = self.update_Vh(Vh_model, rollout_batch, bTah_Qh[idx], bT_Vh_rnn_states[idx], rnn_chunk_ids)
-            policy_model, policy_info = self.update_policy(policy_model, rollout_batch, bTa_A[idx], rnn_chunk_ids)
-            lagr, lagr_info = self.update_lagr(lagr, policy_model, rollout_batch, bTah_Vh[idx], bTah_Ah[idx])
-            return (Vl_model, Vh_model, policy_model, lagr), (Vl_info | Vh_info | policy_info | lagr_info)
-
-        (Vl_train_state, Vh_train_state, policy_train_state, ah_lagr), info = lax.scan(
-            update_fn, (Vl_train_state, Vh_train_state, policy_train_state, ah_lagr), batch_idx
+        # Targets: GAE over non-negative costs (informarl_lagr.py:209-214).
+        vh_targets, vl_targets = efocp_targets(
+            jnp.clip(rollout.costs, min=0), -rollout.rewards,
+            vh.with_bootstrap, vl.with_bootstrap, self.gamma, self.gae_lambda,
         )
-        info = jtu.tree_map(lambda x: x[-1], info)
+
+        task_adv = -per_agent(time_normalized(vl_targets - vl.per_step), self.n_agents)
+        constraint_adv = time_normalized(vh_targets - vh.per_step)
+        # Lagrangian blend (informarl_lagr.py:216-231).
+        adv = task_adv - (constraint_adv * ah_lagr[None, None]).mean(axis=-1)
+
+        def sweep(carry, env_idx):
+            vl_state, vh_state, pi_state, lagr = carry
+            batch = take_envs(rollout, env_idx)
+            vl_state, vl_info = self.update_Vl(
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
+            )
+            vh_state, vh_info = self.update_Vh(
+                vh_state, batch, vh_targets[env_idx], vh.carries[env_idx], chunk_ids
+            )
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            lagr, lagr_info = self.update_lagr(
+                lagr, pi_state, batch, vh.per_step[env_idx], constraint_adv[env_idx]
+            )
+            return (vl_state, vh_state, pi_state, lagr), vl_info | vh_info | pi_info | lagr_info
+
+        (Vl_train_state, Vh_train_state, policy_train_state, ah_lagr), info = scan_minibatches(
+            sweep, (Vl_train_state, Vh_train_state, policy_train_state, ah_lagr), minibatches
+        )
         return Vl_train_state, Vh_train_state, policy_train_state, ah_lagr, info
 
-    def update_Vh(self, Vh_train_state, rollout: Rollout, bTah_Qh, bT_rnn_states, rnn_chunk_ids):
-        bcT_rollout = jtu.tree_map(lambda x: x[:, rnn_chunk_ids], rollout)
-        bcTah_Qh = bTah_Qh[:, rnn_chunk_ids]
-        bc_rnn_state_inits = jnp.zeros_like(bT_rnn_states[:, rnn_chunk_ids[:, 0]])
+    def update_Vh(self, Vh_train_state, rollout: Rollout, targets, carries, chunk_ids):
+        chunked = take_chunks(rollout, chunk_ids)
+        chunk_targets = targets[:, chunk_ids]
+        carry0 = fresh_chunk_carries(carries, chunk_ids)
 
-        def get_loss(params):
-            bcTah_Vh, _, _ = jax.vmap(jax.vmap(ft.partial(self.scan_Vh, Vh_params=params)))(
-                bcT_rollout, bc_rnn_state_inits
-            )
-            return optax.l2_loss(bcTah_Vh, bcTah_Qh).mean()
+        def l2_to_targets(params):
+            preds, _, _ = jax.vmap(jax.vmap(ft.partial(self.scan_Vh, Vh_params=params)))(chunked, carry0)
+            return optax.l2_loss(preds, chunk_targets).mean()
 
-        loss, grad = jax.value_and_grad(get_loss)(Vh_train_state.params)
-        critic_has_nan = has_any_nan_or_inf(grad).astype(jnp.float32)
-        grad, grad_norm = compute_norm_and_clip(grad, self.max_grad_norm)
-        Vh_train_state = Vh_train_state.apply_gradients(grads=grad)
-        return Vh_train_state, {
-            "Vh/loss": loss,
-            "Vh/grad_norm": grad_norm,
-            "Vh/has_nan": critic_has_nan,
-            "Vh/max_target": jnp.max(bcTah_Qh),
-            "Vh/min_target": jnp.min(bcTah_Qh),
-        }
-
-    def update_lagr(self, ah_lagr: Array, policy_train_state, rollout: Rollout, bTah_Vh, bTah_Ah):
-        b_rnn_state_inits = jnp.zeros_like(rollout.rnn_states[:, 0])
-
-        action_key = jr.fold_in(self.key, policy_train_state.step)
-        bT_action_keys = jr.split(action_key, rollout.actions.shape[0] * rollout.actions.shape[1]).reshape(
-            rollout.actions.shape[:2] + (2,)
+        return fit(
+            Vh_train_state, l2_to_targets, self.max_grad_norm, "Vh",
+            extra_metrics={"Vh/max_target": jnp.max(chunk_targets), "Vh/min_target": jnp.min(chunk_targets)},
         )
 
-        bTa_log_pis, _, _, _ = jax.vmap(
-            ft.partial(self.scan_eval_action, actor_params=policy_train_state.params)
-        )(rollout.graph, rollout.actions, b_rnn_state_inits, bT_action_keys)
+    def update_lagr(self, ah_lagr: Array, policy_train_state, rollout: Rollout, vh_steps, constraint_adv):
+        """Dual ascent on the per-(agent,constraint) multipliers
+        (informarl_lagr.py:286-309): slack mixes the stationary constraint
+        value with the importance-weighted constraint advantage; a relu keeps
+        the multipliers non-negative."""
+        carry0 = jnp.zeros_like(rollout.rnn_states[:, 0])
+        entropy_keys = self._entropy_keys(rollout, policy_train_state.step)
 
-        bTa_ratio = jnp.exp(bTa_log_pis - rollout.log_pis)
-        ah_delta = -(bTah_Vh * (1 - self.gamma) + bTa_ratio[:, :, :, None] * bTah_Ah).mean(axis=(0, 1))
-        ah_lagr = jax.nn.relu(ah_lagr - ah_delta * self.lr_lagr)
+        logp_new, _, _, _ = jax.vmap(
+            ft.partial(self.scan_eval_action, actor_params=policy_train_state.params)
+        )(rollout.graph, rollout.actions, carry0, entropy_keys)
+
+        ratio = jnp.exp(logp_new - rollout.log_pis)
+        slack = -(vh_steps * (1 - self.gamma) + ratio[..., None] * constraint_adv).mean(axis=(0, 1))
+        ah_lagr = jax.nn.relu(ah_lagr - slack * self.lr_lagr)
         return ah_lagr, {"policy/lagr_mean": ah_lagr.mean()}
 
     def save(self, save_dir: str, step: int):
