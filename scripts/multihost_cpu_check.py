@@ -11,13 +11,18 @@ identical values, and they must match an unsharded single-process run
 (tests/test_multichip.py::test_two_process_distributed_matches_single).
 
 Usage (run N times concurrently, pid = 0..N-1):
-  python scripts/multihost_cpu_check.py <pid> <nproc> <coordinator_port>
+  python scripts/multihost_cpu_check.py <pid> <nproc> <coordinator_port> [out_dir]
+
+With `out_dir`, each process additionally dumps its full post-update param
+tree to <out_dir>/params_<pid>.npz so the caller can assert leaf-by-leaf
+cross-process equality (not just a scalar checksum).
 """
 import json
 import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+out_dir = sys.argv[4] if len(sys.argv) > 4 else None
 
 import jax
 
@@ -63,9 +68,16 @@ def main():
     reward_sum = float(jax.device_get(rollout.rewards.sum()))
 
     algo.update(rollout, step=0)
-    checksum = float(
-        sum(jax.device_get(abs(l).sum()) for l in jax.tree_util.tree_leaves(algo.params))
-    )
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(algo.params)[0]
+    checksum = float(sum(jax.device_get(abs(l).sum()) for _, l in leaves_with_paths))
+    if out_dir:
+        # Full post-update param tree, keyed by pytree path, for leaf-by-leaf
+        # cross-process determinism assertions in the caller.
+        np.savez(
+            os.path.join(out_dir, f"params_{pid}.npz"),
+            **{jax.tree_util.keystr(kp): np.asarray(jax.device_get(l))
+               for kp, l in leaves_with_paths},
+        )
     print(json.dumps({"pid": pid, "reward_sum": reward_sum, "param_checksum": checksum}), flush=True)
 
 

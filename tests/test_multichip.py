@@ -62,7 +62,7 @@ def test_sharded_rollout_matches_unsharded():
     )
 
 
-def test_two_process_distributed_matches_single():
+def test_two_process_distributed_matches_single(tmp_path):
     """TRUE multi-process validation (simulated 2 hosts x 2 CPU devices):
     two jax.distributed processes build the env mesh across processes, feed
     host-local batch shards, and run one sharded DGPPO collect + update via
@@ -84,7 +84,7 @@ def test_two_process_distributed_matches_single():
     port = 12400 + os.getpid() % 1000
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(pid), "2", str(port)],
+            [sys.executable, script, str(pid), "2", str(port), str(tmp_path)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -108,6 +108,16 @@ def test_two_process_distributed_matches_single():
     # Both processes observe the same global rollout and post-update params.
     assert outs[0]["reward_sum"] == outs[1]["reward_sum"]
     np.testing.assert_allclose(outs[0]["param_checksum"], outs[1]["param_checksum"], rtol=1e-6)
+
+    # Leaf-by-leaf cross-process determinism of the full updated param tree:
+    # with replicated params and psum'd gradients, every process must hold
+    # bitwise-identical weights after the update (any drift here means
+    # desynchronized training on a real pod).
+    p0 = np.load(tmp_path / "params_0.npz")
+    p1 = np.load(tmp_path / "params_1.npz")
+    assert set(p0.files) == set(p1.files) and len(p0.files) > 0
+    for name in p0.files:
+        np.testing.assert_array_equal(p0[name], p1[name], err_msg=name)
 
     # The distributed global rollout matches an unsharded single-process run.
     env = make_env("MPETarget", num_agents=3, max_step=8)
