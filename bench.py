@@ -105,7 +105,9 @@ def _on_signal(signum, frame):
     if signum != signal.SIGALRM:
         os.kill(os.getpid(), signum)
     else:
-        sys.exit(0)
+        # Self-deadline: exit 0 only if a (partial) result actually went out;
+        # an empty run must NOT look like success to the driver.
+        sys.exit(0 if _EMITTED else 75)
 
 
 def _record(metric: str, value: float, unit: str, vs_baseline: float) -> None:

@@ -81,15 +81,9 @@ def resolve_step(run_dir: str, requested) -> int:
 
 
 def _select_backend(args, jax):
-    if os.environ.get("DGPPO_JAX_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["DGPPO_JAX_PLATFORM"])
-    if args.cpu:
-        # JAX_PLATFORMS env vars don't stick on images whose sitecustomize
-        # prepends an experimental platform — set the config before any
-        # backend init instead (must precede the first jax.devices() call).
-        jax.config.update("jax_platforms", "cpu")
-    if args.debug:
-        jax.config.update("jax_disable_jit", True)
+    from .backend import apply_backend_overrides
+
+    apply_backend_overrides(jax, cpu=args.cpu, debug=args.debug)
 
 
 def _restore(algo, args, model_dir: str, step: int) -> None:

@@ -93,13 +93,9 @@ def train(args):
 
     import jax
 
-    # Headless platform override (JAX_PLATFORMS env vars don't stick on
-    # images whose sitecustomize prepends an experimental platform; used by
-    # the CLI-level tests to force the CPU backend in subprocesses).
-    if os.environ.get("DGPPO_JAX_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["DGPPO_JAX_PLATFORM"])
-    if os.environ.get("DGPPO_NUM_CPU_DEVICES"):
-        jax.config.update("jax_num_cpu_devices", int(os.environ["DGPPO_NUM_CPU_DEVICES"]))
+    from .backend import apply_backend_overrides
+
+    apply_backend_overrides(jax, debug=args.debug)
 
     from ..parallel.mesh import init_distributed, make_mesh
 
@@ -110,11 +106,6 @@ def train(args):
     if args.mesh or "JAX_COORDINATOR_ADDRESS" in os.environ:
         init_distributed()
 
-    if args.debug:
-        # Env-var JAX_DISABLE_JIT would be read too late here (and this
-        # image's sitecustomize interferes with jax env vars anyway) — set
-        # the config directly.
-        jax.config.update("jax_disable_jit", True)
     if args.gpu is not None:
         # Reference pins a CUDA device index (reference train.py:22-24,
         # 160-161). TPU-side semantic: pin the i-th local device as the

@@ -44,15 +44,19 @@ def init_distributed(
     """
     import os
 
-    explicit = (
-        coordinator_address is not None
-        or num_processes is not None
-        or "JAX_COORDINATOR_ADDRESS" in os.environ
-    )
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    # Any explicit configuration — args OR the env-var fallbacks above —
+    # means the operator intends a cluster: init failures must propagate,
+    # never degrade to silent single-process training.
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id

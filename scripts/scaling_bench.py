@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
-    from bench import build, time_rollout
+    from bench import build
     from dgppo_fov_tpu.parallel.mesh import init_distributed, make_mesh, replicate, shard_batch
 
     init_distributed()
