@@ -169,7 +169,7 @@ class DGPPO(InforMARLLagr):
 
         info = {}
         for _ in range(self.epoch_ppo):
-            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
+            minibatches = minibatch_plan(rollout, self.batch_size, self.rnn_step)
             (
                 self.Vl_train_state,
                 self.Vh_train_state,
@@ -182,7 +182,6 @@ class DGPPO(InforMARLLagr):
                 rollout,
                 det_rollout,
                 minibatches,
-                chunk_ids,
                 jnp.array(step),
             )
         return info
@@ -203,7 +202,6 @@ class DGPPO(InforMARLLagr):
         rollout: Rollout,
         det_rollout: Rollout,
         minibatches: Array,
-        chunk_ids: Array,
         step: Array,
     ):
         vl = self._unroll_Vl(rollout, Vl_train_state.params)
@@ -232,12 +230,12 @@ class DGPPO(InforMARLLagr):
             vl_state, vh_state, pi_state = carry
             batch = take_envs(rollout, env_idx)
             vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
             )
             vh_state, vh_info = self.update_Vh(
-                vh_state, take_envs(det_rollout, env_idx), det_vh_targets[env_idx], chunk_ids
+                vh_state, take_envs(det_rollout, env_idx), det_vh_targets[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
             return (vl_state, vh_state, pi_state), vl_info | vh_info | pi_info
 
         (Vl_train_state, Vh_train_state, policy_train_state), info = scan_minibatches(
@@ -245,7 +243,7 @@ class DGPPO(InforMARLLagr):
         )
         return Vl_train_state, Vh_train_state, policy_train_state, info | {"eval/safe_data": safe_frac}
 
-    def update_Vh(self, Vh_train_state, det_batch: Rollout, det_targets, chunk_ids):
+    def update_Vh(self, Vh_train_state, det_batch: Rollout, det_targets):
         """L2 fit of Vh to deterministic-rollout GAE targets (dgppo.py:296-321).
 
         The replay reads the DET rollout's stored rnn_states (the policy's
@@ -254,8 +252,8 @@ class DGPPO(InforMARLLagr):
         (reference dgppo.py:296-321 — the stochastic rollout's carries were
         passed next to det graphs); that dead parameter is dropped here.
         """
-        chunked = take_chunks(det_batch, chunk_ids)
-        chunk_targets = det_targets[:, chunk_ids]
+        chunked = take_chunks(det_batch, self.rnn_step)
+        chunk_targets = take_chunks(det_targets, self.rnn_step)
 
         def l2_to_det_targets(params):
             read_vh = ft.partial(self.get_Vh, params={"Vh": params})

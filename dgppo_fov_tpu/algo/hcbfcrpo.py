@@ -41,9 +41,9 @@ class HCBFCRPO(DGPPO):
 
         info = {}
         for _ in range(self.epoch_ppo):
-            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
+            minibatches = minibatch_plan(rollout, self.batch_size, self.rnn_step)
             self.Vl_train_state, self.policy_train_state, info = self.update_inner(
-                self.Vl_train_state, self.policy_train_state, rollout, minibatches, chunk_ids, jnp.array(step)
+                self.Vl_train_state, self.policy_train_state, rollout, minibatches, jnp.array(step)
             )
         return info
 
@@ -55,7 +55,6 @@ class HCBFCRPO(DGPPO):
         policy_train_state: TrainState,
         rollout: Rollout,
         minibatches: Array,
-        chunk_ids: Array,
         step: Array,
     ):
         vl = self._unroll_Vl(rollout, Vl_train_state.params)
@@ -75,9 +74,9 @@ class HCBFCRPO(DGPPO):
             vl_state, pi_state = carry
             batch = take_envs(rollout, env_idx)
             vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
             return (vl_state, pi_state), vl_info | pi_info
 
         (Vl_train_state, policy_train_state), info = scan_minibatches(

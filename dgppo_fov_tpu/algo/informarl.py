@@ -225,9 +225,9 @@ class InforMARL(Algorithm):
 
         info = {}
         for _ in range(self.epoch_ppo):
-            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
+            minibatches = minibatch_plan(rollout, self.batch_size, self.rnn_step)
             self.Vl_train_state, self.policy_train_state, info = self.update_inner(
-                self.Vl_train_state, self.policy_train_state, rollout, minibatches, chunk_ids, jnp.array(step)
+                self.Vl_train_state, self.policy_train_state, rollout, minibatches, jnp.array(step)
             )
         return info
 
@@ -269,7 +269,6 @@ class InforMARL(Algorithm):
         policy_train_state: TrainState,
         rollout: Rollout,
         minibatches: Array,
-        chunk_ids: Array,
         step: Array,
     ):
         vl = self._unroll_Vl(rollout, Vl_train_state.params)
@@ -296,9 +295,9 @@ class InforMARL(Algorithm):
             vl_state, pi_state = carry
             batch = take_envs(rollout, env_idx)
             vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
             return (vl_state, pi_state), vl_info | pi_info
 
         (Vl_train_state, policy_train_state), info = scan_minibatches(
@@ -307,10 +306,10 @@ class InforMARL(Algorithm):
         return Vl_train_state, policy_train_state, info
 
     # ------------------------------------------------------------------------
-    def update_Vl(self, Vl_train_state, rollout: Rollout, targets, carries, chunk_ids):
-        chunked = take_chunks(rollout, chunk_ids)
-        chunk_targets = targets[:, chunk_ids]
-        carry0 = fresh_chunk_carries(carries, chunk_ids)
+    def update_Vl(self, Vl_train_state, rollout: Rollout, targets, carries):
+        chunked = take_chunks(rollout, self.rnn_step)
+        chunk_targets = take_chunks(targets, self.rnn_step)
+        carry0 = fresh_chunk_carries(carries, self.rnn_step)
 
         def l2_to_targets(params):
             preds, _, _ = jax.vmap(jax.vmap(ft.partial(self.scan_Vl, Vl_params=params)))(chunked, carry0)
@@ -343,13 +342,13 @@ class InforMARL(Algorithm):
         keys = jr.split(jr.fold_in(self.key, optimizer_step), n_env * horizon)
         return keys.reshape(n_env, horizon, 2)
 
-    def update_policy(self, policy_train_state, rollout: Rollout, adv, chunk_ids):
-        graphs = take_chunks(rollout.graph, chunk_ids)
-        actions = rollout.actions[:, chunk_ids]
-        logp_old = rollout.log_pis[:, chunk_ids]
-        chunk_adv = adv[:, chunk_ids]
-        carry0 = fresh_chunk_carries(rollout.rnn_states, chunk_ids)
-        chunk_keys = self._entropy_keys(rollout, policy_train_state.step)[:, chunk_ids]
+    def update_policy(self, policy_train_state, rollout: Rollout, adv):
+        graphs = take_chunks(rollout.graph, self.rnn_step)
+        actions = take_chunks(rollout.actions, self.rnn_step)
+        logp_old = take_chunks(rollout.log_pis, self.rnn_step)
+        chunk_adv = take_chunks(adv, self.rnn_step)
+        carry0 = fresh_chunk_carries(rollout.rnn_states, self.rnn_step)
+        chunk_keys = take_chunks(self._entropy_keys(rollout, policy_train_state.step), self.rnn_step)
 
         def surrogate(params):
             logp_new, entropy, _, _ = jax.vmap(

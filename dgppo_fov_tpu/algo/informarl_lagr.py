@@ -131,7 +131,7 @@ class InforMARLLagr(InforMARL):
 
         info = {}
         for _ in range(self.epoch_ppo):
-            minibatches, chunk_ids = minibatch_plan(rollout, self.batch_size, self.rnn_step)
+            minibatches = minibatch_plan(rollout, self.batch_size, self.rnn_step)
             (
                 self.Vl_train_state,
                 self.Vh_train_state,
@@ -145,7 +145,6 @@ class InforMARLLagr(InforMARL):
                 self.ah_lagr,
                 rollout,
                 minibatches,
-                chunk_ids,
             )
         return info
 
@@ -187,7 +186,6 @@ class InforMARLLagr(InforMARL):
         ah_lagr: Array,
         rollout: Rollout,
         minibatches: Array,
-        chunk_ids: Array,
     ):
         vl = self._unroll_Vl(rollout, Vl_train_state.params)
         vh = self._unroll_Vh(rollout, Vh_train_state.params)
@@ -207,12 +205,12 @@ class InforMARLLagr(InforMARL):
             vl_state, vh_state, pi_state, lagr = carry
             batch = take_envs(rollout, env_idx)
             vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx], chunk_ids
+                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
             )
             vh_state, vh_info = self.update_Vh(
-                vh_state, batch, vh_targets[env_idx], vh.carries[env_idx], chunk_ids
+                vh_state, batch, vh_targets[env_idx], vh.carries[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx], chunk_ids)
+            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
             lagr, lagr_info = self.update_lagr(
                 lagr, pi_state, batch, vh.per_step[env_idx], constraint_adv[env_idx]
             )
@@ -223,10 +221,10 @@ class InforMARLLagr(InforMARL):
         )
         return Vl_train_state, Vh_train_state, policy_train_state, ah_lagr, info
 
-    def update_Vh(self, Vh_train_state, rollout: Rollout, targets, carries, chunk_ids):
-        chunked = take_chunks(rollout, chunk_ids)
-        chunk_targets = targets[:, chunk_ids]
-        carry0 = fresh_chunk_carries(carries, chunk_ids)
+    def update_Vh(self, Vh_train_state, rollout: Rollout, targets, carries):
+        chunked = take_chunks(rollout, self.rnn_step)
+        chunk_targets = take_chunks(targets, self.rnn_step)
+        carry0 = fresh_chunk_carries(carries, self.rnn_step)
 
         def l2_to_targets(params):
             preds, _, _ = jax.vmap(jax.vmap(ft.partial(self.scan_Vh, Vh_params=params)))(chunked, carry0)

@@ -120,21 +120,20 @@ def strip_env_states(rollout: Rollout) -> Rollout:
     )
 
 
-def minibatch_plan(rollout: Rollout, batch_size: int, rnn_step: int) -> Tuple[Array, Array]:
+def minibatch_plan(rollout: Rollout, batch_size: int, rnn_step: int) -> Array:
     """Host-side epoch plan: a shuffled split of env indices into minibatches
-    of whole trajectories, and the TBPTT chunk index table.
+    of whole trajectories.
 
     Consumes np.random exactly like the reference (one np.random.shuffle of
     arange(n_env); informarl.py:268-273) so seeded runs reproduce.
     """
     n_env, horizon = rollout.dones.shape[:2]
     assert n_env * horizon >= batch_size, "batch_size exceeds collected transitions"
+    assert horizon % rnn_step == 0, f"horizon {horizon} not divisible by rnn_step {rnn_step}"
     order = np.arange(n_env)
     np.random.shuffle(order)
-    chunk_ids = jnp.array(jnp.array_split(jnp.arange(horizon), horizon // rnn_step))
     envs_per_minibatch = batch_size // horizon
-    minibatches = jnp.array(jnp.array_split(order, n_env // envs_per_minibatch))
-    return minibatches, chunk_ids
+    return jnp.array(jnp.array_split(order, n_env // envs_per_minibatch))
 
 
 def take_envs(tree, env_idx: Array):
@@ -142,16 +141,34 @@ def take_envs(tree, env_idx: Array):
     return jtu.tree_map(lambda x: x[env_idx], tree)
 
 
-def take_chunks(tree, chunk_ids: Array):
-    """Reshape the time axis (axis 1) of a pytree into TBPTT chunks:
-    (b, T, ...) -> (b, n_chunks, rnn_step, ...)."""
-    return jtu.tree_map(lambda x: x[:, chunk_ids], tree)
+def take_chunks(tree, rnn_step: int):
+    """Split the time axis (axis 1) of a pytree into TBPTT chunks:
+    (b, T, ...) -> (b, T//rnn_step, rnn_step, ...).
+
+    The reference's chunk table is always `array_split(arange(T))`
+    (informarl.py:271-272) — contiguous ranges — so the split is a static
+    reshape, not a gather of the whole minibatch per sub-update.
+
+    A full Rollout's `final_graph` has no time axis (and no chunked update
+    reads it), so it is dropped rather than mis-chunked.
+    """
+    if isinstance(tree, Rollout):
+        tree = tree._replace(final_graph=None)
+
+    def split(x):
+        b, horizon = x.shape[:2]
+        assert horizon % rnn_step == 0, f"horizon {horizon} not divisible by rnn_step {rnn_step}"
+        return x.reshape(b, horizon // rnn_step, rnn_step, *x.shape[2:])
+
+    return jtu.tree_map(split, tree)
 
 
-def fresh_chunk_carries(carries: Array, chunk_ids: Array) -> Array:
+def fresh_chunk_carries(carries: Array, rnn_step: int) -> Array:
     """Zero initial RNN state per chunk (truncated BPTT; the reference
-    re-evaluates every chunk from a zero carry, informarl.py:367,413)."""
-    return jnp.zeros_like(carries[:, chunk_ids[:, 0]])
+    re-evaluates every chunk from a zero carry, informarl.py:367,413):
+    (b, T, ...) carries -> (b, T//rnn_step, ...) zeros."""
+    b, horizon = carries.shape[:2]
+    return jnp.zeros((b, horizon // rnn_step) + carries.shape[2:], carries.dtype)
 
 
 def scan_minibatches(per_minibatch: Callable, carry, minibatches: Array):

@@ -92,11 +92,9 @@ def main():
     # Sub-updates at one minibatch of the bench size.
     bs_envs = max(1, algo.batch_size // T)
     mb = jtu.tree_map(lambda x: x[:bs_envs], rollout)
-    rnn_chunk_ids = jnp.arange(T).reshape(T // algo.rnn_step, algo.rnn_step)
-
     @jax.jit
     def upd_vl(ts, ro, targets, rnn_states):
-        return algo.update_Vl(ts, ro, targets, rnn_states, rnn_chunk_ids)
+        return algo.update_Vl(ts, ro, targets, rnn_states)
 
     _, t_uvl = timed("update_Vl (1 minibatch)", upd_vl, algo.Vl_train_state, mb, bT_Vl[:bs_envs], bT_Vl_rnn[:bs_envs])
 
@@ -104,7 +102,7 @@ def main():
 
     @jax.jit
     def upd_pi(ts, ro, adv):
-        return algo.update_policy(ts, ro, adv, rnn_chunk_ids)
+        return algo.update_policy(ts, ro, adv)
 
     _, t_upi = timed("update_policy (1 minibatch)", upd_pi, algo.policy_train_state, mb, bTa_A[:bs_envs])
 

@@ -89,14 +89,12 @@ def test_minibatch_plan_consumes_np_random_like_reference():
     )
 
     np.random.seed(7)
-    mb1, chunks1 = minibatch_plan(rollout, batch_size=batch, rnn_step=rnn_step)
+    mb1 = minibatch_plan(rollout, batch_size=batch, rnn_step=rnn_step)
     np.random.seed(7)
     want = np.arange(n_env)
     np.random.shuffle(want)
     np.testing.assert_array_equal(np.asarray(mb1).reshape(-1), want)
     assert mb1.shape == (n_env * T // batch, batch // T)
-    np.testing.assert_array_equal(np.asarray(chunks1).reshape(-1), np.arange(T))
-    assert chunks1.shape == (T // rnn_step, rnn_step)
 
 
 def test_ppo_clip_objective_matches_oracle():

@@ -134,7 +134,7 @@ def test_update_inner_parity(setup):
         algo_r.Vl_train_state, algo_r.policy_train_state, ro_r, batch_idx, rnn_chunk_ids, step
     )
     Vl_o, pol_o, info_o = algo_o.update_inner(
-        algo_o.Vl_train_state, algo_o.policy_train_state, ro_o, batch_idx, rnn_chunk_ids, step
+        algo_o.Vl_train_state, algo_o.policy_train_state, ro_o, batch_idx, step
     )
 
     # Metrics parity (entropy excluded: reference uses a trace-time seed).
