@@ -11,6 +11,12 @@ from ..utils.typing import Action, Array, Params, PRNGKey
 
 
 class Algorithm(ABC):
+    #: Constructor arguments that form the serialized `config` surface
+    #: (the reference exposes config as a per-algorithm hand-written dict,
+    #: base.py:30-33; here each algorithm declares its keys once and the
+    #: base renders the dict). Subclasses extend the parent tuple.
+    config_keys: Tuple[str, ...] = ()
+
     def __init__(self, env, node_dim: int, edge_dim: int, action_dim: int, n_agents: int):
         self._env = env
         self.node_dim = node_dim
@@ -18,9 +24,15 @@ class Algorithm(ABC):
         self.action_dim = action_dim
         self.n_agents = n_agents
 
+    def _store_hyperparameters(self, scope: dict, names: Tuple[str, ...]):
+        """setattr the named constructor locals onto self (one declaration
+        site per algorithm instead of a wall of `self.x = x`)."""
+        for name in names:
+            setattr(self, name, scope[name])
+
     @property
-    @abstractmethod
-    def config(self) -> dict: ...
+    def config(self) -> dict:
+        return {k: getattr(self, k) for k in self.config_keys}
 
     @property
     @abstractmethod

@@ -43,6 +43,8 @@ from .pipeline import (
 
 
 class DGPPO(InforMARLLagr):
+    config_keys = InforMARLLagr.config_keys + ("alpha", "cbf_eps", "cbf_weight", "cbf_schedule")
+
     def __init__(
         self,
         env,
@@ -84,10 +86,7 @@ class DGPPO(InforMARLLagr):
             compute_dtype=compute_dtype,
         )
 
-        self.alpha = alpha
-        self.cbf_eps = cbf_eps
-        self.cbf_weight = cbf_weight
-        self.cbf_schedule = cbf_schedule
+        self._store_hyperparameters(locals(), ("alpha", "cbf_eps", "cbf_weight", "cbf_schedule"))
 
         if self.cbf_schedule:
             self.cbf_schedule_fn = optax.piecewise_constant_schedule(
@@ -123,15 +122,6 @@ class DGPPO(InforMARLLagr):
             return jax.vmap(ft.partial(det_rollout_single, cur_params))(cur_keys)
 
         self.det_rollout_fn = jax.jit(det_rollout_batch)
-
-    @property
-    def config(self) -> dict:
-        return super().config | {
-            "alpha": self.alpha,
-            "cbf_eps": self.cbf_eps,
-            "cbf_weight": self.cbf_weight,
-            "cbf_schedule": self.cbf_schedule,
-        }
 
     def get_Vh(self, graph: BlockGraph, rnn_state: Array, params: Optional[Params] = None) -> Array:
         if params is None:

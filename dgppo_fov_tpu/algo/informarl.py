@@ -53,6 +53,13 @@ from .pipeline import (
 
 
 class InforMARL(Algorithm):
+    config_keys = (
+        "cost_weight", "actor_gnn_layers", "Vl_gnn_layers", "gamma",
+        "lr_actor", "lr_Vl", "batch_size", "epoch_ppo", "clip_eps",
+        "gae_lambda", "coef_ent", "max_grad_norm", "seed", "use_rnn",
+        "rnn_layers", "rnn_step", "use_lstm", "cost_schedule",
+    )
+
     def __init__(
         self,
         env,
@@ -85,25 +92,7 @@ class InforMARL(Algorithm):
     ):
         super().__init__(env=env, node_dim=node_dim, edge_dim=edge_dim, action_dim=action_dim, n_agents=n_agents)
 
-        self.cost_weight = cost_weight
-        self.actor_gnn_layers = actor_gnn_layers
-        self.Vl_gnn_layers = Vl_gnn_layers
-        self.gamma = gamma
-        self.lr_actor = lr_actor
-        self.lr_Vl = lr_Vl
-        self.batch_size = batch_size
-        self.epoch_ppo = epoch_ppo
-        self.clip_eps = clip_eps
-        self.gae_lambda = gae_lambda
-        self.coef_ent = coef_ent
-        self.max_grad_norm = max_grad_norm
-        self.seed = seed
-        self.use_rnn = use_rnn
-        self.rnn_layers = rnn_layers
-        self.rnn_step = rnn_step
-        self.use_lstm = use_lstm
-        self.cost_schedule = cost_schedule
-        self.compute_dtype = compute_dtype
+        self._store_hyperparameters(locals(), InforMARL.config_keys + ("compute_dtype",))
 
         self.nominal_graph = nominal_graph(env.graph_spec)
 
@@ -174,29 +163,6 @@ class InforMARL(Algorithm):
             self.cost_schedule_fn = optax.constant_schedule(cost_weight)
 
     # ------------------------------------------------------------------------
-    @property
-    def config(self) -> dict:
-        return {
-            "cost_weight": self.cost_weight,
-            "actor_gnn_layers": self.actor_gnn_layers,
-            "Vl_gnn_layers": self.Vl_gnn_layers,
-            "gamma": self.gamma,
-            "lr_actor": self.lr_actor,
-            "lr_Vl": self.lr_Vl,
-            "batch_size": self.batch_size,
-            "epoch_ppo": self.epoch_ppo,
-            "clip_eps": self.clip_eps,
-            "gae_lambda": self.gae_lambda,
-            "coef_ent": self.coef_ent,
-            "max_grad_norm": self.max_grad_norm,
-            "seed": self.seed,
-            "use_rnn": self.use_rnn,
-            "rnn_layers": self.rnn_layers,
-            "rnn_step": self.rnn_step,
-            "use_lstm": self.use_lstm,
-            "cost_schedule": self.cost_schedule,
-        }
-
     @property
     def params(self) -> Params:
         return {"policy": self.policy_train_state.params, "Vl": self.Vl_train_state.params}

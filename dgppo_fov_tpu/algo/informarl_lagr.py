@@ -41,6 +41,8 @@ from .pipeline import (
 
 
 class InforMARLLagr(InforMARL):
+    config_keys = InforMARL.config_keys + ("lr_Vh", "Vh_gnn_layers", "lagr_init", "lr_lagr")
+
     def __init__(
         self,
         env,
@@ -79,10 +81,7 @@ class InforMARLLagr(InforMARL):
             compute_dtype=compute_dtype,
         )
 
-        self.lr_Vh = lr_Vh
-        self.Vh_gnn_layers = Vh_gnn_layers
-        self.lagr_init = lagr_init
-        self.lr_lagr = lr_lagr
+        self._store_hyperparameters(locals(), ("lr_Vh", "Vh_gnn_layers", "lagr_init", "lr_lagr"))
 
         self.Vh = ValueNet(
             node_dim=node_dim,
@@ -107,15 +106,6 @@ class InforMARLLagr(InforMARL):
         self.Vh_train_state = TrainState.create(apply_fn=self.Vh.get_value, params=Vh_params, tx=self.Vh_optim)
 
         self.ah_lagr = jnp.ones((n_agents, env.n_cost)) * self.lagr_init
-
-    @property
-    def config(self) -> dict:
-        return super().config | {
-            "lr_Vh": self.lr_Vh,
-            "Vh_gnn_layers": self.Vh_gnn_layers,
-            "lagr_init": self.lagr_init,
-            "lr_lagr": self.lr_lagr,
-        }
 
     @property
     def params(self) -> Params:
