@@ -100,7 +100,7 @@ def get_BuRd():
     )
 
 
-def _per_node(val, n, cast=None):
+def _per_node(val, n):
     """Broadcast a scalar/str to an n-list; pass lists/arrays through."""
     if isinstance(val, (str, bool, float, int)):
         return [val] * n

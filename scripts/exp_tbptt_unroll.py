@@ -14,7 +14,6 @@ the GAE scan are untouched.
 
 Usage: python scripts/exp_tbptt_unroll.py [UNROLL] [N_ENV] [T]
 """
-import functools as ft
 import os
 import sys
 import time

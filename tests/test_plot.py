@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import jax.random as jr
 import matplotlib.pyplot as plt
 import numpy as np
-import pytest
 
 from dgppo_fov_tpu.env.obstacle import Cuboid, Rectangle, Sphere
 from dgppo_fov_tpu.env.plot import (

@@ -110,15 +110,17 @@ def _env_state_leaves(g_r, g_o):
     return out
 
 
-def _lockstep_compare(env_r, env_o, n_agents, rtol, actions, err, perturb=0.0):
+def _lockstep_compare(env_r, env_o, n_agents, rtol, actions, err, perturb=0.0, steps=None):
     """Run both envs through `actions` with jitted steps, asserting parity of
     rewards/costs/dones/agent/goal states (+ shared env_states leaves) at
     every step. With `perturb`, our agent states are nudged by that amount
-    after every step (an injected dynamics error) and the function instead
-    RETURNS the max reward/cost/state divergence seen, asserting nothing."""
+    after every step (an injected dynamics error) and the function asserts
+    nothing. Returns (max divergence seen under perturb, final our-side
+    graph). `steps` takes a pre-jitted (step_r, step_o) pair so callers
+    looping over seeds compile each env pair once, not once per seed."""
     has_goals = any(t.type_id == 1 for t in env_o.graph_spec.types)
     n_goal = env_o.graph_spec.type_count(1) if has_goals else 0
-    step_r, step_o = jax.jit(env_r.step), jax.jit(env_o.step)
+    step_r, step_o = steps if steps is not None else (jax.jit(env_r.step), jax.jit(env_o.step))
 
     key = jr.PRNGKey(err["seed"])
     g_r, g_o = env_r.reset(key), env_o.reset(key)
@@ -192,7 +194,7 @@ def _lockstep_compare(env_r, env_o, n_agents, rtol, actions, err, perturb=0.0):
                 np.asarray(lr), np.asarray(lo), rtol=rtol, atol=rtol,
                 err_msg=f"{ctx} env_states.{name}",
             )
-    return worst
+    return worst, g_o
 
 
 @pytest.mark.parametrize("env_id,n_agents,num_obs,rtol,seeds,n_steps", ENV_CASES)
@@ -200,10 +202,12 @@ def test_env_parity(ref, env_id, n_agents, num_obs, rtol, seeds, n_steps):
     env_r, env_o = _make_pair(ref, env_id, n_agents, num_obs)
     assert env_r.action_dim == env_o.action_dim
     assert env_r.n_cost == env_o.n_cost
+    steps = (jax.jit(env_r.step), jax.jit(env_o.step))  # compile once across seeds
     for seed in seeds:
         actions = _random_actions(n_steps, n_agents, env_o.action_dim, seed)
         _lockstep_compare(
-            env_r, env_o, n_agents, rtol, actions, {"env": env_id, "n": n_agents, "seed": seed}
+            env_r, env_o, n_agents, rtol, actions,
+            {"env": env_id, "n": n_agents, "seed": seed}, steps=steps,
         )
 
 
@@ -214,18 +218,15 @@ def test_vmas_contact_parity(ref, env_id):
     line) active — and asserts the trajectory actually entered the contact
     regime (nonzero payload motion) so the schedule can't silently go stale."""
     env_r, env_o = _make_pair(ref, env_id, 3, None)
+    steps = (jax.jit(env_r.step), jax.jit(env_o.step))
+    actions = _push_actions(24, 3, env_o.action_dim)
     for seed in (0, 1, 2):
-        actions = _push_actions(24, 3, env_o.action_dim)
         key = jr.PRNGKey(seed)
         g0 = env_o.reset(key)
-        _lockstep_compare(
-            env_r, env_o, 3, 1e-4, actions, {"env": env_id, "n": 3, "seed": seed}
+        _, g_o = _lockstep_compare(
+            env_r, env_o, 3, 1e-4, actions, {"env": env_id, "n": 3, "seed": seed}, steps=steps
         )
         # Payload state must have moved: contact happened.
-        g_o = g0
-        step_o = jax.jit(env_o.step)
-        for action in actions:
-            g_o, *_ = step_o(g_o, action)
         if env_id == "VMASReverseTransport":
             moved = float(np.max(np.abs(np.asarray(g_o.env_states.box_pos - g0.env_states.box_pos))))
         else:
@@ -244,7 +245,7 @@ def test_sweep_catches_dynamics_perturbation(ref, env_id, num_obs, rtol):
     this fails, the sweep has gone blind and parity passes mean nothing."""
     env_r, env_o = _make_pair(ref, env_id, 3, num_obs)
     actions = _random_actions(16, 3, env_o.action_dim, seed=0)
-    worst = _lockstep_compare(
+    worst, _ = _lockstep_compare(
         env_r, env_o, 3, rtol, actions, {"env": env_id, "n": 3, "seed": 0}, perturb=1e-3
     )
     assert worst > 10 * rtol, (
