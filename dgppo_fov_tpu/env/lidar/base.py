@@ -30,7 +30,7 @@ from ...utils.tree import jax_vmap, merge01
 from ...utils.typing import Action, AgentState, Array, Cost, Pos, Reward, State
 from ..base import MultiAgentEnv, StepResult
 from ..obstacle import Rectangle
-from ..utils import get_lidar, get_node_goal_rng
+from ..utils import get_lidar, get_node_goal_rng, nearest_other_dist
 
 
 class LidarEnvState(NamedTuple):
@@ -223,10 +223,7 @@ class LidarEnv(MultiAgentEnv, ABC):
         agent_states = graph.type_states(LidarEnv.AGENT)
         agent_pos = agent_states[:, :2]
 
-        dist = jnp.linalg.norm(agent_pos[:, None] - agent_pos[None, :], axis=-1)
-        dist = dist + jnp.eye(self.num_agents) * 1e6
-        min_dist = jnp.min(dist, axis=1)
-        agent_cost = self.params["car_radius"] * 2 - min_dist
+        agent_cost = self.params["car_radius"] * 2 - nearest_other_dist(agent_pos)
 
         if self.n_obs == 0:
             obs_cost = jnp.zeros((self.num_agents,), dtype=jnp.float32)

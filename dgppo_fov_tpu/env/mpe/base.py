@@ -23,7 +23,7 @@ import jax.random as jr
 from ...graph import BlockGraph, BlockSpec, GraphSpec, TypeSpec, build_graph
 from ...utils.typing import Action, AgentState, Array, Cost, Reward, State
 from ..base import MultiAgentEnv, StepResult
-from ..utils import get_node_goal_rng
+from ..utils import get_node_goal_rng, nearest_other_dist
 
 
 class MPEEnvState(NamedTuple):
@@ -186,10 +186,7 @@ class MPE(MultiAgentEnv, ABC):
         agent_states = graph.type_states(MPE.AGENT)
         agent_pos = agent_states[:, :2]
 
-        dist = jnp.linalg.norm(agent_pos[:, None] - agent_pos[None, :], axis=-1)
-        dist = dist + jnp.eye(self.num_agents) * 1e6
-        min_dist = jnp.min(dist, axis=1)
-        agent_cost = self.params["car_radius"] * 2 - min_dist
+        agent_cost = self.params["car_radius"] * 2 - nearest_other_dist(agent_pos)
 
         if self.n_obs == 0:
             obs_cost = jnp.zeros(self.num_agents)

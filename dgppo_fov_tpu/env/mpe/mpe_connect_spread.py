@@ -15,7 +15,7 @@ from jax.lax import while_loop
 
 from ...graph import BlockGraph
 from ...utils.typing import Array, Cost, State
-from ..utils import get_node_goal_rng
+from ..utils import get_node_goal_rng, nearest_other_dist
 from .base import MPE, MPEEnvState
 from .mpe_spread import MPESpread
 
@@ -50,68 +50,65 @@ class MPEConnectSpread(MPESpread):
         return "agent collisions", "obs collisions", "connectivity"
 
     def reset(self, key: Array) -> BlockGraph:
-        def non_valid_node(inp):
-            _, state_nodes, goal_nodes = inp
-            dist = jnp.linalg.norm(state_nodes[:, None] - state_nodes[None, :], axis=-1)
-            dist += jnp.eye(self.num_agents) * 1e6
-            min_dist = jnp.min(dist, axis=1)
-            non_connect_agent = (min_dist > self.params["connect_radius"]).any()
-            collide_agent = (min_dist < 2 * self.params["car_radius"]).any()
+        r_car = self.params["car_radius"]
+        r_obs = self.params["obs_radius"]
+        r_connect = self.params["connect_radius"]
+        # Agents spawn in the lower horizontal strip, goals in the mirrored
+        # upper strip (one obstacle row sits between them); whole
+        # configurations are rejected until agents AND goals each form a
+        # connected chain with no agent collisions.
+        strip_height = (self.area_size - r_obs * 2) / 2 - 1.5 * r_car
+        goal_strip_shift = jnp.array([0.0, self.area_size - (self.area_size - r_obs * 2) / 2 + 1.5 * r_car])
 
-            dist = jnp.linalg.norm(goal_nodes[:, None] - goal_nodes[None, :], axis=-1)
-            dist += jnp.eye(self.num_agents) * 1e6
-            min_dist = jnp.min(dist, axis=1)
-            non_connect_goal = (min_dist > self.params["connect_radius"]).any()
-            return non_connect_agent | collide_agent | non_connect_goal
-
-        def get_node(inp):
-            this_key, use_key = jr.split(inp[0], 2)
-            strip = (self.area_size - self.params["obs_radius"] * 2) / 2 - 1.5 * self.params["car_radius"]
-            state_nodes, goal_nodes = get_node_goal_rng(
-                use_key, self.area_size, 2, self.num_agents, 2.3 * self.params["car_radius"], None, strip
+        def chain_broken(carry):
+            _, agents, goals = carry
+            agent_gap = nearest_other_dist(agents)
+            goal_gap = nearest_other_dist(goals)
+            return (
+                (agent_gap > r_connect).any()
+                | (agent_gap < 2 * r_car).any()
+                | (goal_gap > r_connect).any()
             )
-            goal_nodes += jnp.array(
-                [0.0, self.area_size - (self.area_size - self.params["obs_radius"] * 2) / 2 + 1.5 * self.params["car_radius"]]
+
+        def resample(carry):
+            carry_key, draw_key = jr.split(carry[0], 2)
+            agents, goals = get_node_goal_rng(
+                draw_key, self.area_size, 2, self.num_agents, 2.3 * r_car, None, strip_height
             )
-            return this_key, state_nodes, goal_nodes
+            return carry_key, agents, goals + goal_strip_shift
 
-        states = jnp.zeros((self.num_agents, 2))
-        goals = jnp.zeros((self.num_agents, 2))
-        key, states, goals = while_loop(non_valid_node, get_node, (key, states, goals))
+        placeholder = jnp.zeros((self.num_agents, 2))
+        key, agent_pos, goal_pos = while_loop(chain_broken, resample, (key, placeholder, placeholder))
 
+        # The single obstacle slides along the mid-line.
         obs_key, key = jr.split(key, 2)
-        obs_x = jr.uniform(
-            obs_key, (1,), minval=self.params["obs_radius"], maxval=self.area_size - self.params["obs_radius"]
-        )
-        obs = jnp.array([[obs_x[0], self.area_size / 2]])
+        obs_x = jr.uniform(obs_key, (1,), minval=r_obs, maxval=self.area_size - r_obs)
+        obs_pos = jnp.array([[obs_x[0], self.area_size / 2]])
 
-        states = jnp.concatenate([states, jnp.zeros_like(states)], axis=1)
-        goals = jnp.concatenate([goals, jnp.zeros_like(goals)], axis=1)
-        obs = jnp.concatenate([obs, jnp.zeros_like(obs)], axis=1)
-        return self.get_graph(MPEEnvState(states, goals, obs))
+        def at_rest(pos):  # state = position ++ zero velocity
+            return jnp.concatenate([pos, jnp.zeros_like(pos)], axis=1)
+
+        return self.get_graph(MPEEnvState(at_rest(agent_pos), at_rest(goal_pos), at_rest(obs_pos)))
 
     def get_cost(self, graph: BlockGraph) -> Cost:
-        agent_states = graph.type_states(MPE.AGENT)
+        agent_pos = graph.type_states(MPE.AGENT)[:, :2]
         obstacles = graph.type_states(MPE.OBS)[:, :2]
-        agent_pos = agent_states[:, :2]
 
-        dist = jnp.linalg.norm(agent_pos[:, None] - agent_pos[None, :], axis=-1)
-        dist += jnp.eye(self.num_agents) * 1e6
-        min_dist = jnp.min(dist, axis=1)
-        agent_cost = self.params["car_radius"] * 2 - min_dist
-
-        connect_cost = (min_dist - self.params["connect_radius"]).max()
-        connect_cost = jnp.broadcast_to(connect_cost, (self.num_agents,))
-
-        dist = jnp.linalg.norm(agent_pos[:, None] - obstacles[None, :], axis=-1)
-        obs_cost = self.params["car_radius"] + self.params["obs_radius"] - jnp.min(dist, axis=1)
+        neighbor_gap = nearest_other_dist(agent_pos)
+        agent_cost = self.params["car_radius"] * 2 - neighbor_gap
+        # Connectivity is a TEAM constraint: the worst chain gap, shared by
+        # every agent's cost row.
+        connect_cost = jnp.broadcast_to(
+            (neighbor_gap - self.params["connect_radius"]).max(), (self.num_agents,)
+        )
+        obs_dist = jnp.linalg.norm(agent_pos[:, None] - obstacles[None, :], axis=-1)
+        obs_cost = self.params["car_radius"] + self.params["obs_radius"] - jnp.min(obs_dist, axis=1)
 
         cost = jnp.stack([agent_cost, obs_cost, connect_cost], axis=1)
         eps = 0.5
         cost = jnp.where(cost <= 0.0, cost - eps, cost + eps)
         # Two-sided clip — differs from base MPE (mpe_connect_spread.py:134).
-        cost = jnp.clip(cost, -1.0, 1.0)
-        return cost
+        return jnp.clip(cost, -1.0, 1.0)
 
     def state_lim(self, state: Optional[State] = None) -> Tuple[State, State]:
         lower = jnp.array([0.0, 0.0, -1.0, -1.0])

@@ -17,6 +17,20 @@ from jax.lax import while_loop
 from ..utils.typing import Array, BoolScalar, Pos, PRNGKey, Radius
 
 
+def nearest_other_dist(pos: Array) -> Array:
+    """Per-row distance to the closest OTHER row of `pos` (n, dims).
+
+    Shared idiom of every family's collision/connectivity terms. The
+    self-distance is masked by the reference's +1e6 diagonal (not inf) and
+    the op order is preserved exactly — golden reset/cost parity against
+    the running reference is bitwise on CPU (reference mpe/base.py:166-168,
+    mpe_connect_spread.py:58-66,116-118, lidar_env/base.py:183-186).
+    """
+    dist = jnp.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    dist = dist + jnp.eye(pos.shape[0]) * 1e6
+    return jnp.min(dist, axis=1)
+
+
 def RK4_step(x_dot_fn, x, u, dt):
     """Classic RK4 integrator (reference env/utils.py:16-21; defined, unused)."""
     k1 = x_dot_fn(x, u)
