@@ -331,13 +331,18 @@ class InforMARL(Algorithm):
         )
 
     # ------------------------------------------------------------------------
+    # Reference checkpoint layout: models/<step>/<stem>.pkl per network
+    # (reference informarl.py:459-472, informarl_lagr.py:311-327). Each
+    # (file stem, train-state attribute) row here is one pickle; subclasses
+    # with more networks extend the table.
+    CKPT_NETS = (("actor", "policy_train_state"), ("Vl", "Vl_train_state"))
+
     def save(self, save_dir: str, step: int):
         model_dir = os.path.join(save_dir, str(step))
         os.makedirs(model_dir, exist_ok=True)
-        with open(os.path.join(model_dir, "actor.pkl"), "wb") as f:
-            pickle.dump(self.policy_train_state.params, f)
-        with open(os.path.join(model_dir, "Vl.pkl"), "wb") as f:
-            pickle.dump(self.Vl_train_state.params, f)
+        for stem, attr in self.CKPT_NETS:
+            with open(os.path.join(model_dir, f"{stem}.pkl"), "wb") as f:
+                pickle.dump(getattr(self, attr).params, f)
 
     @staticmethod
     def _load_pkl(path: str, name: str):
@@ -355,5 +360,6 @@ class InforMARL(Algorithm):
 
     def load(self, load_dir: str, step: int):
         path = os.path.join(load_dir, str(step))
-        self.policy_train_state = self.policy_train_state.replace(params=self._load_pkl(path, "actor.pkl"))
-        self.Vl_train_state = self.Vl_train_state.replace(params=self._load_pkl(path, "Vl.pkl"))
+        for stem, attr in self.CKPT_NETS:
+            state = getattr(self, attr)
+            setattr(self, attr, state.replace(params=self._load_pkl(path, f"{stem}.pkl")))

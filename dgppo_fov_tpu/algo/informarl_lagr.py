@@ -10,8 +10,6 @@ Behavioral parity reference: /root/reference/dgppo/algo/informarl_lagr.py:25-327
    slack = -mean(Vh*(1-gamma) + ratio*Ah) (informarl_lagr.py:286-309)
 """
 import functools as ft
-import os
-import pickle
 
 import jax
 import jax.numpy as jnp
@@ -242,18 +240,4 @@ class InforMARLLagr(InforMARL):
         ah_lagr = jax.nn.relu(ah_lagr - slack * self.lr_lagr)
         return ah_lagr, {"policy/lagr_mean": ah_lagr.mean()}
 
-    def save(self, save_dir: str, step: int):
-        model_dir = os.path.join(save_dir, str(step))
-        os.makedirs(model_dir, exist_ok=True)
-        with open(os.path.join(model_dir, "actor.pkl"), "wb") as f:
-            pickle.dump(self.policy_train_state.params, f)
-        with open(os.path.join(model_dir, "Vl.pkl"), "wb") as f:
-            pickle.dump(self.Vl_train_state.params, f)
-        with open(os.path.join(model_dir, "Vh.pkl"), "wb") as f:
-            pickle.dump(self.Vh_train_state.params, f)
-
-    def load(self, load_dir: str, step: int):
-        path = os.path.join(load_dir, str(step))
-        self.policy_train_state = self.policy_train_state.replace(params=self._load_pkl(path, "actor.pkl"))
-        self.Vl_train_state = self.Vl_train_state.replace(params=self._load_pkl(path, "Vl.pkl"))
-        self.Vh_train_state = self.Vh_train_state.replace(params=self._load_pkl(path, "Vh.pkl"))
+    CKPT_NETS = InforMARL.CKPT_NETS + (("Vh", "Vh_train_state"),)
