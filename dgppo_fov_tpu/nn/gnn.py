@@ -37,6 +37,16 @@ from .mlp import MLP, default_nn_init
 NEG_INF = -1e30
 
 
+def shared_receiver_range(blocks) -> bool:
+    """True when every block addresses the SAME receiver range. Then one
+    masked softmax over the concatenated sender axis is exact, and a final
+    layer may compute receiver rows only (`only_recv`). Both decisions must
+    come from this single predicate so they can never disagree."""
+    return all(
+        b.recv_start == blocks[0].recv_start and b.n_recv == blocks[0].n_recv for b in blocks
+    )
+
+
 class _FusedQKVU(nn.Module):
     """The fused Q/K/V/update projection with an optional receiver-restricted
     split: K/V are computed for all nodes (senders), Q/update only for the
@@ -103,10 +113,7 @@ class BlockGraphTransformer(nn.Module):
         H, D = self.n_heads, self.out_dim
 
         blocks_all = spec.blocks
-        shared_recv = all(
-            b.recv_start == blocks_all[0].recv_start and b.n_recv == blocks_all[0].n_recv
-            for b in blocks_all
-        )
+        shared_recv = shared_receiver_range(blocks_all)
         restrict = only_recv and shared_recv
         recv_slice = blocks_all[0].recv_slice if restrict else None
 
@@ -153,8 +160,6 @@ class BlockGraphTransformer(nn.Module):
             vpe.append(msg)
 
         # Softmax over each receiver's full incoming-edge set across blocks.
-        # (same shared-receiver predicate as `shared_recv` above — reuse it so
-        # the restrict path and the fast softmax path can never disagree.)
         blocks = spec.blocks
         if shared_recv:
             # Fast path (every env here: receivers are always the agents):
@@ -175,17 +180,20 @@ class BlockGraphTransformer(nn.Module):
             if restrict:
                 aggr = aggr_r  # upd is receiver-rows too; no scatter to N
             else:
-                aggr = jnp.zeros((N, H, D)).at[blocks[0].recv_slice].set(aggr_r)
+                # Accumulators take the compute dtype — f32 literals would
+                # silently promote the whole layer back to f32 under bf16.
+                aggr = jnp.zeros((N, H, D), aggr_r.dtype).at[blocks[0].recv_slice].set(aggr_r)
         else:
             # General path: two-pass accumulation with static-slice updates.
-            m = jnp.full((N, H), NEG_INF)
+            # (accumulator dtypes follow the compute dtype, as above)
+            m = jnp.full((N, H), NEG_INF, logits[0].dtype)
             for lg, b in zip(logits, blocks):
                 r = b.recv_slice
                 m = m.at[r].set(jnp.maximum(m[r], lg.max(axis=1)))
             m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
 
-            z = jnp.zeros((N, H))
-            s = jnp.zeros((N, H, D))
+            z = jnp.zeros((N, H), logits[0].dtype)
+            s = jnp.zeros((N, H, D), vpe[0].dtype)
             for lg, msg, mask, b in zip(logits, vpe, graph.masks, blocks):
                 r = b.recv_slice
                 p = jnp.exp(lg - m_safe[r][:, None, :])
@@ -217,9 +225,7 @@ class GraphTransformerGNN(nn.Module):
         # node type and that type IS the shared receiver range of every
         # block, the last layer computes Q/update/softmax/activation for the
         # receiver rows only (~10x fewer rows on lidar graphs).
-        shared_recv = all(
-            b.recv_start == blocks[0].recv_start and b.n_recv == blocks[0].n_recv for b in blocks
-        )
+        shared_recv = shared_receiver_range(blocks)
         restrict_last = False
         if node_type is not None and shared_recv:
             t_slice = spec.type_slice(node_type)
@@ -279,14 +285,16 @@ class AttentionAggregation(nn.Module):
             msgs.append(mb)
             gates.append(gb)
 
-        m = jnp.full((N,), NEG_INF)
+        # Accumulator dtypes follow the compute dtype (see the same note in
+        # BlockGraphTransformer) — f32 literals would defeat bf16 mode.
+        m = jnp.full((N,), NEG_INF, gates[0].dtype)
         for gb, b in zip(gates, spec.blocks):
             r = b.recv_slice
             m = m.at[r].set(jnp.maximum(m[r], gb.max(axis=1)))
         m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
 
-        z = jnp.zeros((N,))
-        s = jnp.zeros((N, self.msg_dim))
+        z = jnp.zeros((N,), gates[0].dtype)
+        s = jnp.zeros((N, self.msg_dim), msgs[0].dtype)
         for gb, mb, mask, b in zip(gates, msgs, graph.masks, spec.blocks):
             r = b.recv_slice
             p = jnp.where(mask, jnp.exp(gb - m_safe[r][:, None]), 0.0)

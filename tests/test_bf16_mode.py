@@ -71,3 +71,28 @@ def test_bf16_mode_is_actually_active():
     act32, _ = a32.policy.get_action(a32.params["policy"], graph, a32.init_rnn_state)
     act16, _ = a16.policy.get_action(a16.params["policy"], graph, a16.init_rnn_state)
     assert np.abs(np.asarray(act32) - np.asarray(act16)).max() > 0.0
+
+
+def test_gnn_layers_stay_bf16():
+    """Regression: the GNN softmax accumulators were f32 literals, silently
+    promoting every non-restricted layer's output (and everything after it)
+    back to f32 under bf16 mode. All paths must preserve the compute dtype."""
+    import jax.tree_util as jtu
+
+    from dgppo_fov_tpu.env import make_env
+    from dgppo_fov_tpu.nn.gnn import GraphTransformerGNN
+
+    env = make_env("MPETarget", num_agents=3, num_obs=2, max_step=8)
+    graph = env.reset(jr.PRNGKey(0)).without_env_states()
+    gnn = GraphTransformerGNN(msg_dim=32, out_dim=64, n_heads=3, n_layers=2)
+    params = gnn.init(jr.PRNGKey(3), graph)  # f32 init (orthogonal needs LAPACK)
+    params16 = jtu.tree_map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    graph16 = graph.replace(
+        nodes=graph.nodes.astype(jnp.bfloat16),
+        edges=tuple(e.astype(jnp.bfloat16) for e in graph.edges),
+    )
+    full = gnn.apply(params16, graph16)  # unrestricted path (all nodes)
+    restricted = gnn.apply(params16, graph16, node_type=0)  # restricted final layer
+    assert full.dtype == jnp.bfloat16
+    assert restricted.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(full.astype(jnp.float32)).all())

@@ -74,3 +74,13 @@ def test_pallas_kernel_matches_xla():
     except Exception as e:  # pallas unsupported on this backend config
         pytest.skip(f"pallas unavailable: {e}")
     np.testing.assert_allclose(np.asarray(pallas), np.asarray(xla), rtol=1e-5, atol=1e-6)
+
+
+def test_raytrace_alphas_empty_obstacle_set():
+    """Regression: zero segments must return all-miss sentinels (the
+    reference raytracing() has an explicit empty-set branch) instead of
+    crashing on a zero-size min reduction."""
+    rays = jnp.asarray(beam_fan(32, 0.5))
+    alphas = raytrace_alphas(jnp.array([0.5, 0.5]), rays, jnp.zeros((0, 2)), jnp.zeros((0, 2)))
+    assert alphas.shape == (32,)
+    np.testing.assert_array_equal(np.asarray(alphas), np.full((32,), 1e6, np.float32))
