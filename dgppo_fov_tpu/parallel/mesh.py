@@ -83,9 +83,22 @@ def _cluster_env_detected() -> bool:
     try:
         from jax._src.clusters import ClusterEnv
 
-        return any(c.is_env_present() for c in ClusterEnv._cluster_types)
+        detectors = ClusterEnv._cluster_types
     except Exception:
-        return False
+        # The private-API probe broke (jax moved ClusterEnv). Fall back to
+        # well-known cluster env markers so a real pod/SLURM job still
+        # fails loudly instead of silently training per-host models.
+        import os
+
+        markers = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE")
+        found = any(m in os.environ for m in markers)
+        warnings.warn(
+            "jax cluster auto-detection probe unavailable (private API moved); "
+            f"falling back to env-var markers -> cluster={'yes' if found else 'no'}"
+        )
+        return found
+    return any(c.is_env_present() for c in detectors)
 
 
 def make_mesh(devices=None, axis_name: str = ENV_AXIS) -> Mesh:

@@ -66,16 +66,31 @@ def save_checkpoint(algo, ckpt_dir: str, step: int) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     state = gather_full_state(algo, step)
     path = os.path.join(ckpt_dir, f"full_{step}")
-    try:
-        import orbax.checkpoint as ocp
+    # Multi-process runs pickle directly: orbax's Checkpointer.save is a
+    # COLLECTIVE (it barriers across all hosts), but the trainer gates saves
+    # to process 0 — calling the collective from one process would stall at
+    # the barrier every save_interval. All state here is replicated, so a
+    # process-local pickle is complete and correct.
+    if jax.process_count() == 1:
+        try:
+            import orbax.checkpoint as ocp
 
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(os.path.abspath(path), state, force=True)
-    except Exception:
-        with open(path + ".pkl", "wb") as f:
-            pickle.dump(state, f)
-        path = path + ".pkl"
-    return path
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(os.path.abspath(path), state, force=True)
+            return path
+        except ImportError:
+            pass  # orbax not installed: expected fallback, no warning
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"orbax save failed ({type(e).__name__}: {e}); falling back to a "
+                f"pickle checkpoint at {path}.pkl — investigate, restores of "
+                f"earlier orbax checkpoints may be affected too."
+            )
+    with open(path + ".pkl", "wb") as f:
+        pickle.dump(state, f)
+    return path + ".pkl"
 
 
 def load_checkpoint(algo, ckpt_dir: str, step: int) -> int:

@@ -48,6 +48,8 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def log(self, metrics: dict, step: int):
+        import math
+
         clean = {}
         for k, v in metrics.items():
             try:
@@ -55,8 +57,13 @@ class MetricsLogger:
             except (TypeError, ValueError):
                 continue
         if self._file is not None:
-            rec = {"step": step, "time": time.time() - self._t0, **clean}
-            self._file.write(json.dumps(rec) + "\n")
+            # Non-finite floats serialize as null: json.dumps would emit the
+            # non-standard NaN/Infinity literals, which strict JSON parsers
+            # (jq, pandas, JSON.parse) reject — one transient NaN loss would
+            # poison the whole parity dashboard file.
+            rec = {"step": step, "time": time.time() - self._t0}
+            rec.update({k: (v if math.isfinite(v) else None) for k, v in clean.items()})
+            self._file.write(json.dumps(rec, allow_nan=False) + "\n")
         if self._wandb is not None:
             self._wandb.log(clean, step=step)
 

@@ -156,14 +156,20 @@ class Trainer:
                     save_checkpoint(self.algo, os.path.join(self.log_dir, "ckpt"), step)
 
             # jax.profiler trace of one train iteration (SURVEY.md §5:
-            # tracing/profiling — absent in the reference).
-            if self.profile_dir is not None and step == 2:
+            # tracing/profiling — absent in the reference). Offset from
+            # start_step so resumed / very short runs still get a trace
+            # (step 2 never occurs when resuming past it).
+            if self.profile_dir is not None and step == min(start_step + 2, self.steps):
                 jax.profiler.start_trace(self.profile_dir)
 
             collect_t0 = time.time()
             # Step-keyed (not sequentially split) so a resumed run at step S
             # continues the same stream the original run would have used.
-            key_x0 = jr.split(jr.fold_in(self.key, step), self.n_env_train)
+            # Folded through a domain tag first: fold_in(key, s) equals
+            # split(key, 1000)[s], so folding the raw seed key would alias
+            # the collect stream with the fixed eval keys above (training
+            # resets would reuse eval reset keys step for step).
+            key_x0 = jr.split(jr.fold_in(jr.fold_in(self.key, 0x636F6C), step), self.n_env_train)
             key_x0 = shard_batch(key_x0, self.mesh)
             rollouts = self.algo.collect(self.algo.params, key_x0)
             jax.block_until_ready(rollouts.rewards)
