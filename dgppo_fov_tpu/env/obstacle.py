@@ -104,7 +104,13 @@ class Cuboid(NamedTuple):
         return self.center.shape[0]
 
     def inside(self, point: Pos, r: Radius = 0.0) -> BoolScalar:
-        p = self.rot_matrix.T @ (point - self.center)
+        # Reference-faithful, including its quirks (obstacle.py:139-173):
+        # the frame transform uses jnp.linalg.inv(rot) (not the orthogonal
+        # transpose), and the edge-proximity check below compares the
+        # CUBOID-frame point against WORLD-frame edge geometry — a reference
+        # frame-mixing bug reproduced on purpose so any future 3D env stays
+        # decision-for-decision identical under golden tests.
+        p = jnp.dot(jnp.linalg.inv(self.rot_matrix), point - self.center)
         hl, hw, hh = self.length / 2, self.width / 2, self.height / 2
         in_h = (-hl < p[0]) & (p[0] < hl) & (-hw < p[1]) & (p[1] < hw) & (-hh - r < p[2]) & (p[2] < hh + r)
         in_l = (-hl - r < p[0]) & (p[0] < hl + r) & (-hw < p[1]) & (p[1] < hw) & (-hh < p[2]) & (p[2] < hh)
@@ -119,9 +125,9 @@ class Cuboid(NamedTuple):
 
         def near_edge(edge):
             seg = edge[1] - edge[0]
-            frac = jnp.clip(jnp.dot(seg, point - edge[0]) / (jnp.linalg.norm(seg) ** 2), 0, 1)
+            frac = jnp.clip(jnp.dot(seg, p - edge[0]) / (jnp.linalg.norm(seg) ** 2), 0, 1)
             closest = edge[0] + frac * seg
-            return jnp.linalg.norm(closest - point) <= r
+            return jnp.linalg.norm(closest - p) <= r
 
         return is_in | jnp.any(jax.vmap(near_edge)(edges))
 
@@ -137,18 +143,32 @@ class Cuboid(NamedTuple):
         i5 = jnp.array([3, 4, 4, 7, 2, 2])
         p3, p4, p5 = self.points[i3], self.points[i4], self.points[i5]  # (6, 3)
 
-        d = (start - end)[None, :]  # (1, 3) column 0
-        e1 = p4 - p3  # (6, 3) column 1
-        e2 = p5 - p3  # (6, 3) column 2
-        rhs = start[None, :] - p3  # (6, 3)
+        # Explicit adjugate solve with the reference's exact expression order
+        # (obstacle.py:211-233) so alphas are BITWISE identical — a cross-
+        # product reformulation measured up to 1.2e-7 drift, enough to flip
+        # knife-edge validity checks and top-k tie orders vs the oracle.
+        x1, y1, z1 = start[0], start[1], start[2]
+        x2, y2, z2 = end[0], end[1], end[2]
+        x3, y3, z3 = p3[:, 0], p3[:, 1], p3[:, 2]
+        x4, y4, z4 = p4[:, 0], p4[:, 1], p4[:, 2]
+        x5, y5, z5 = p5[:, 0], p5[:, 1], p5[:, 2]
 
-        # det of [d e1 e2] (columns), vectorized over faces.
-        cross_e = jnp.cross(e1, e2)  # (6, 3)
-        det = _clamp_det((d * cross_e).sum(-1))
-
-        alphas = (rhs * cross_e).sum(-1) / det
-        betas = (jnp.cross(rhs, e2) * d).sum(-1) / det
-        gammas = (jnp.cross(e1, rhs) * d).sum(-1) / det
+        det = (x1 - x2) * (y4 - y3) * (z5 - z3) + (x4 - x3) * (y5 - y3) * (z1 - z2) + (y1 - y2) * (z4 - z3) * (
+            x5 - x3) - (y1 - y2) * (x4 - x3) * (z5 - z3) - (z4 - z3) * (y5 - y3) * (x1 - x2) - (x5 - x3) * (
+            y4 - y3) * (z1 - z2)
+        det = _clamp_det(det)
+        adj_00 = (y4 - y3) * (z5 - z3) - (y5 - y3) * (z4 - z3)
+        adj_01 = -((x4 - x3) * (z5 - z3) - (z4 - z3) * (x5 - x3))
+        adj_02 = (x4 - x3) * (y5 - y3) - (y4 - y3) * (x5 - x3)
+        adj_10 = -((y1 - y2) * (z5 - z3) - (z1 - z2) * (y5 - y3))
+        adj_11 = (x1 - x2) * (z5 - z3) - (z1 - z2) * (x5 - x3)
+        adj_12 = -((x1 - x2) * (y5 - y3) - (y1 - y2) * (x5 - x3))
+        adj_20 = (y1 - y2) * (z4 - z3) - (y4 - y3) * (z1 - z2)
+        adj_21 = -((x1 - x2) * (z4 - z3) - (z1 - z2) * (x4 - x3))
+        adj_22 = (x1 - x2) * (y4 - y3) - (y1 - y2) * (x4 - x3)
+        alphas = 1 / det * (adj_00 * (x1 - x3) + adj_01 * (y1 - y3) + adj_02 * (z1 - z3))
+        betas = 1 / det * (adj_10 * (x1 - x3) + adj_11 * (y1 - y3) + adj_12 * (z1 - z3))
+        gammas = 1 / det * (adj_20 * (x1 - x3) + adj_21 * (y1 - y3) + adj_22 * (z1 - z3))
         valid = (
             (alphas >= 0) & (alphas <= 1) & (betas >= 0) & (betas <= 1) & (gammas >= 0) & (gammas <= 1)
         )
@@ -172,16 +192,23 @@ class Sphere(NamedTuple):
         return jnp.linalg.norm(point - self.center) <= self.radius + r
 
     def raytracing(self, start: Pos, end: Pos) -> Array:
-        """Quadratic ray-sphere solve (reference obstacle.py:252-285)."""
-        d = end - start
-        f = start - self.center
-        A = jnp.sum(d * d)
-        B = 2 * jnp.sum(d * f)
-        C = jnp.sum(f * f) - self.radius**2
+        """Quadratic ray-sphere solve, expression-order faithful to the
+        reference (obstacle.py:252-285) for bitwise alphas — `sum(d*d)`-style
+        contractions measured up to 1.5e-6 drift vs the reference's explicit
+        per-coordinate arithmetic."""
+        x1, y1, z1 = start[0], start[1], start[2]
+        x2, y2, z2 = end[0], end[1], end[2]
+        xc, yc, zc = self.center[0], self.center[1], self.center[2]
+        r = self.radius
+
+        lidar_rmax = jnp.linalg.norm(end - start)
+        A = lidar_rmax**2
+        B = 2 * ((x2 - x1) * (x1 - xc) + (y2 - y1) * (y1 - yc) + (z2 - z1) * (z1 - zc))
+        C = (x1 - xc) ** 2 + (y1 - yc) ** 2 + (z1 - zc) ** 2 - r**2
 
         delta = B**2 - 4 * A * C
         valid = delta >= 0
-        sq = jnp.sqrt(jnp.where(valid, delta, 0.0))
+        sq = jnp.sqrt(delta * valid)
         a1 = jnp.where(valid, (-B - sq) / (2 * A), 1.0)
         a2 = jnp.where(valid, (-B + sq) / (2 * A), 1.0)
         a1 = jnp.where(a1 >= 0, a1, 1.0)

@@ -5,7 +5,6 @@ Behavioral parity reference: /root/reference/dgppo/env/utils.py:49-244.
 (env/utils.py:139-244) so that same-seed resets generate identical initial
 states — the hardest parity requirement (SURVEY.md §7 "Hard parts" #1).
 """
-import functools as ft
 from typing import Optional, Tuple
 
 import jax
@@ -54,6 +53,12 @@ def lqr(A: np.ndarray, B: np.ndarray, Q: np.ndarray, R: np.ndarray) -> np.ndarra
             X = X_next
             break
         X = X_next
+    else:
+        # Returning a silently-wrong gain (measured 99.9% error on marginally
+        # stable systems) is worse than failing: the caller's closed loop
+        # would be effectively uncontrolled.
+        residual = float(np.max(np.abs(A.T @ X @ A - A.T @ X @ B @ np.linalg.inv(R + B.T @ X @ B) @ B.T @ X @ A + Q - X)))
+        raise RuntimeError(f"DARE fixed-point iteration did not converge (residual {residual:.2e})")
     return np.linalg.inv(B.T @ X @ B + R) @ (B.T @ X @ A)
 
 
@@ -101,8 +106,10 @@ def raytracing(starts: Pos, ends: Pos, obstacles, max_returns: int) -> Pos:
 
     # top_k instead of argsort (the reference's env/utils.py:132): same
     # selection and same index-order on ties (both prefer lower beam index),
-    # but O(n k) and TPU-native instead of a full sort.
-    _, order = jax.lax.top_k(-alphas, max_returns)
+    # but O(n k) and TPU-native instead of a full sort. Clamp k to the beam
+    # count — the reference's argsort[:k] truncates gracefully when k exceeds
+    # the number of beams; lax.top_k would raise at trace time.
+    _, order = jax.lax.top_k(-alphas, min(max_returns, alphas.shape[0]))
     hits = starts + (ends - starts) * alphas[..., None]
     return hits[order]
 

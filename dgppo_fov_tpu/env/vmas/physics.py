@@ -121,6 +121,8 @@ def clamp_with_norm(x: Array, max_norm: float) -> Array:
 
 
 def rotate_vector(v: Array, angle: Array) -> Array:
+    # Parity: reference physax/vmas_utils.py rotate_vector (defined, unused —
+    # no registered env reaches it; kept for API completeness like RK4/lqr).
     if angle.ndim == v.ndim:
         angle = angle.squeeze(-1)
     c, s = jnp.cos(angle), jnp.sin(angle)
@@ -192,6 +194,11 @@ class World:
         self, specs: Tuple[EntitySpec, ...], states: Tuple[EntityState, ...]
     ) -> Tuple[Tuple[EntityState, ...], Dict[str, Dict[str, Array]]]:
         """One dt (substeps micro-steps). Returns (new states, contact info)."""
+        # Names key the collision filter and the info dicts: duplicates would
+        # silently disable mutual collisions (a.name == b.name reads as self)
+        # and overwrite contact entries. Specs are static — free under jit.
+        names = [s.name for s in specs]
+        assert len(set(names)) == len(names), f"duplicate entity names: {names}"
         info = {"contact_forces": {}, "contact_torques": {}}
         states = list(states)
         for substep in range(self.substeps):
