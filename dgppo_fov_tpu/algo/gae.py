@@ -58,7 +58,14 @@ def compute_dec_ocp_gae(
     gae_lambda: float,
     discount_to_max: bool = True,
 ) -> Tuple[Array, Array]:
-    """Returns (Qh: (T, a, nh), Ql: (T,))."""
+    """Returns (Qh: (T, a, nh), Ql: (T,)).
+
+    T_l contract: the per-step stage loss is a TEAM scalar. A (T,) vector is
+    the native form; a (T, a) matrix is accepted for reference-surface parity
+    but MUST have identical columns — only column 0 is read (the reference
+    does the same; golden-tested bitwise in tests/test_gae.py). Per-agent
+    stage losses are NOT supported.
+    """
     T, n_agent, nh = Tah_hs.shape
     assert T_l.shape[0] == T
     assert Tp1ah_Vh.shape == (T + 1, n_agent, nh)

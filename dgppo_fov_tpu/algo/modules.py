@@ -12,6 +12,7 @@ Behavioral parity references:
  - ValueNet factory: /root/reference/dgppo/algo/module/value.py:82-157
 """
 import functools as ft
+import math
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -121,22 +122,46 @@ class TanhNormal(nn.Module):
         return self.PolicyNet_0.recur(x, rnn_state)
 
     def dist_params(self, x: Array) -> TanhNormalDistribution:
-        import numpy as np
-
         feats_scaled = self.ScaleHid(x)
         out = self.OutputDenseMeanStd(feats_scaled)
         nu = self.nu
-        means, stds_trans = out[..., :nu], out[..., nu:]
-        std_init_inv = float(np.log(np.exp(self.std_dev_init) - 1.0))
-        stds = jax.nn.softplus(stds_trans + std_init_inv) + self.std_dev_min
-        return TanhNormalDistribution(means, stds)
+        # softplus_inverse(std_dev_init) — reference policy.py's std shift.
+        std_init_inv = math.log(math.exp(self.std_dev_init) - 1.0)
+        stds = jax.nn.softplus(out[..., nu:] + std_init_inv) + self.std_dev_min
+        return TanhNormalDistribution(out[..., :nu], stds)
 
     def __call__(self, graph: BlockGraph, rnn_state: Array):
         x, rnn_state = self.recur(self.trunk(graph), rnn_state)
         return self.dist_params(x), rnn_state
 
 
-class PPOPolicy:
+class RecurrentCarries:
+    """Shared carry layout of the policy/value wrappers — ONE change point
+    for the (n_layers, slots, n_carries, hid) convention (reference
+    informarl.py:114-124). Host classes provide use_rnn / use_lstm /
+    rnn_base / gnn_out_dim / rnn_layers."""
+
+    @property
+    def n_carries(self) -> int:
+        return 2 if self.use_lstm else 1
+
+    def initialize_carry(self, key: PRNGKey) -> Array:
+        """Per-slot carry; zeros, matching flax cell init on zero inputs."""
+        if self.use_rnn:
+            cell = self.rnn_base()
+            carry = cell.initialize_carry(key, (self.gnn_out_dim,))
+            if isinstance(carry, tuple):
+                return jnp.stack(carry, axis=0)  # (n_carries, hid)
+            return carry[None]
+        return jnp.zeros((1, self.gnn_out_dim))
+
+    def _init_rnn_slots(self, key: PRNGKey, n_slots: int) -> Array:
+        keys = jr.split(key, n_slots)
+        per_slot = jax.vmap(self.initialize_carry)(keys)  # (slots, n_carries, hid)
+        return jnp.repeat(per_slot[None], self.rnn_layers, axis=0)
+
+
+class PPOPolicy(RecurrentCarries):
     """Functional policy wrapper: get_action / sample_action / eval_action."""
 
     def __init__(
@@ -177,25 +202,9 @@ class PPOPolicy:
             base = ft.partial(PolicyNet, gnn_cls=gnn, head_cls=head)
         self.dist = TanhNormal(base_cls=base, nu=action_dim)
 
-    @property
-    def n_carries(self) -> int:
-        return 2 if self.use_lstm else 1
-
-    def initialize_carry(self, key: PRNGKey) -> Array:
-        """Per-agent carry; zeros, matching flax cell init on zero inputs."""
-        if self.use_rnn:
-            cell = self.rnn_base()
-            carry = cell.initialize_carry(key, (self.gnn_out_dim,))
-            if isinstance(carry, tuple):
-                return jnp.stack(carry, axis=0)  # (n_carries, hid)
-            return carry[None]
-        return jnp.zeros((1, self.gnn_out_dim))
-
     def init_rnn_state(self, key: PRNGKey) -> Array:
-        """(n_layers, n_agents, n_carries, hid) — reference informarl.py:114-124."""
-        keys = jr.split(key, self.n_agents)
-        per_agent = jax.vmap(self.initialize_carry)(keys)  # (a, n_carries, hid)
-        return jnp.repeat(per_agent[None], self.rnn_layers, axis=0)
+        """(n_layers, n_agents, n_carries, hid)."""
+        return self._init_rnn_slots(key, self.n_agents)
 
     def init(self, key: PRNGKey, graph: BlockGraph, rnn_state: Array) -> Params:
         return self.dist.init(key, graph, rnn_state)
@@ -305,7 +314,7 @@ class DecRStateFn(nn.Module):
         return self.recur(self.trunk(graph), rnn_state)
 
 
-class ValueNet:
+class ValueNet(RecurrentCarries):
     """Factory choosing centralized (RStateFn) vs decomposed (DecRStateFn)."""
 
     def __init__(
@@ -352,26 +361,11 @@ class ValueNet:
         else:
             self.net = RStateFn(gnn_cls=gnn, head_cls=head, n_out=n_out, rnn_cls=rnn)
 
-    @property
-    def n_carries(self) -> int:
-        return 2 if self.use_lstm else 1
-
-    def initialize_carry(self, key: PRNGKey) -> Array:
-        if self.use_rnn:
-            cell = self.rnn_base()
-            carry = cell.initialize_carry(key, (self.gnn_out_dim,))
-            if isinstance(carry, tuple):
-                return jnp.stack(carry, axis=0)
-            return carry[None]
-        return jnp.zeros((1, self.gnn_out_dim))
-
     def init_rnn_state(self, key: PRNGKey, n_slots: int) -> Array:
         """(n_layers, n_slots, n_carries, hid); n_slots=1 for centralized Vl
         (informarl.py:152-160), n_agents for decomposed Vh
         (informarl_lagr.py:85-93)."""
-        keys = jr.split(key, n_slots)
-        per_slot = jax.vmap(self.initialize_carry)(keys)
-        return jnp.repeat(per_slot[None], self.rnn_layers, axis=0)
+        return self._init_rnn_slots(key, n_slots)
 
     def init(self, key: PRNGKey, graph: BlockGraph, rnn_state: Array) -> Params:
         return self.net.init(key, graph, rnn_state)

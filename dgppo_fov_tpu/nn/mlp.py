@@ -20,17 +20,6 @@ def scaled_init(initializer: nn.initializers.Initializer, scale: float) -> nn.in
     return init
 
 
-ACT = dict(
-    relu=nn.relu,
-    tanh=nn.tanh,
-    elu=nn.elu,
-    swish=nn.swish,
-    silu=nn.silu,
-    gelu=nn.gelu,
-    softplus=nn.softplus,
-)
-
-
 class MLP(nn.Module):
     hid_sizes: Sequence[int]
     act: Callable[[Array], Array] = nn.relu
