@@ -129,8 +129,16 @@ class LidarEnv(MultiAgentEnv, ABC):
         )
 
     # ---- reset ----------------------------------------------------------------
-    def sample_obstacles(self, key: Array) -> Tuple[Optional[Rectangle], Array]:
-        """Random rotated rectangles; returns (obstacles, remaining key)."""
+    def sample_obstacles(
+        self, key: Array, theta_range: Tuple[float, float] = (0.0, 2 * np.pi)
+    ) -> Tuple[Optional[Rectangle], Array]:
+        """Random rotated rectangles; returns (obstacles, remaining key).
+
+        `theta_range` parameterizes the rotation draw — the bicycle env's
+        reference reset samples theta in [-pi, pi) where the others use
+        [0, 2pi) — so every family shares this one sampler (same key-split
+        order: obstacle, length, theta; none consumed when n_obs == 0).
+        """
         if self.n_obs == 0:
             return None, key
         obstacle_key, key = jr.split(key, 2)
@@ -143,7 +151,7 @@ class LidarEnv(MultiAgentEnv, ABC):
             maxval=self._params["obs_len_range"][1],
         )
         theta_key, key = jr.split(key, 2)
-        obs_theta = jr.uniform(theta_key, (self.n_obs,), minval=0, maxval=2 * np.pi)
+        obs_theta = jr.uniform(theta_key, (self.n_obs,), minval=theta_range[0], maxval=theta_range[1])
         return self.create_obstacles(obs_pos, obs_len[:, 0], obs_len[:, 1], obs_theta), key
 
     def reset(self, key: Array) -> BlockGraph:

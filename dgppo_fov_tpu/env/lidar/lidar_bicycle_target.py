@@ -49,17 +49,11 @@ class LidarBicycleTarget(LidarTarget):
         return 2  # omega, acc
 
     def reset(self, key: Array) -> BlockGraph:
-        obstacle_key, key = jr.split(key, 2)
-        obs_pos = jr.uniform(obstacle_key, (self.n_obs, 2), minval=0, maxval=self.area_size)
-        length_key, key = jr.split(key, 2)
-        obs_len = jr.uniform(
-            length_key, (self.n_obs, 2),
-            minval=self._params["obs_len_range"][0],
-            maxval=self._params["obs_len_range"][1],
-        )
-        theta_key, key = jr.split(key, 2)
-        obs_theta = jr.uniform(theta_key, (self.n_obs,), minval=-jnp.pi, maxval=jnp.pi)
-        obstacles = self.create_obstacles(obs_pos, obs_len[:, 0], obs_len[:, 1], obs_theta)
+        # Shared sampler with the bicycle reference's [-pi, pi) theta range.
+        # Also fixes num_obs=0: the previous inline copy built an EMPTY
+        # Rectangle where step() substitutes None, so the rollout scan's
+        # carry changed pytree structure and crashed.
+        obstacles, key = self.sample_obstacles(key, theta_range=(-np.pi, np.pi))
 
         states, goals = get_node_goal_rng(
             key, self.area_size, 2, self.num_agents, 2.2 * self.params["car_radius"], obstacles

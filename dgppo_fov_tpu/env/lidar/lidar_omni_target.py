@@ -27,7 +27,7 @@ import numpy as np
 from ...graph import BlockGraph
 from ...utils.tree import jax_vmap
 from ...utils.typing import Action, AgentState, Array, Cost, Pos, Reward, State
-from ..utils import get_node_goal_rng
+from ..utils import get_node_goal_rng, nearest_other_dist
 from .base import LidarEnv, LidarEnvState
 
 
@@ -58,7 +58,7 @@ class LidarOmniTarget(LidarEnv):
     }
 
     def __init__(self, num_agents, area_size=None, max_step=128, dt=0.03, params=None):
-        area_size = LidarOmniTarget.PARAMS["default_area_size"] if area_size is None else area_size
+        # area_size=None resolves via type(self).PARAMS in the base __init__.
         super().__init__(num_agents, area_size, max_step, dt, params)
 
         self._fov_beta_rad = jnp.deg2rad(self.params["fov_angle_deg"])
@@ -115,19 +115,7 @@ class LidarOmniTarget(LidarEnv):
 
     # ---- reset -----------------------------------------------------------------
     def reset(self, key: Array) -> BlockGraph:
-        obstacles = None
-        if self.n_obs > 0:
-            obstacle_key, key = jr.split(key, 2)
-            obs_pos = jr.uniform(obstacle_key, (self.n_obs, 2), minval=0, maxval=self.area_size)
-            length_key, key = jr.split(key, 2)
-            obs_len = jr.uniform(
-                length_key, (self.n_obs, 2),
-                minval=self._params["obs_len_range"][0],
-                maxval=self._params["obs_len_range"][1],
-            )
-            theta_key, key = jr.split(key, 2)
-            obs_theta = jr.uniform(theta_key, (self.n_obs,), minval=0, maxval=2 * np.pi)
-            obstacles = self.create_obstacles(obs_pos, obs_len[:, 0], obs_len[:, 1], obs_theta)
+        obstacles, key = self.sample_obstacles(key)
 
         node_goal_key, key = jr.split(key, 2)
         min_distance = jnp.maximum(2.2 * self.params["car_radius"], self._min_safe_dist_D)
@@ -138,10 +126,9 @@ class LidarOmniTarget(LidarEnv):
         # Chain topology: agent i faces agent i+1; last agent random heading.
         theta_states = jnp.zeros((self.num_agents, 2))
         if self.num_agents > 1:
-            for i in range(self.num_agents - 1):
-                delta_p = agent_pos[i + 1] - agent_pos[i]
-                norm = jnp.linalg.norm(delta_p) + 1e-8
-                theta_states = theta_states.at[i].set(delta_p / norm)
+            delta_p = agent_pos[1:] - agent_pos[:-1]  # row i: p_{i+1} - p_i
+            norm = jnp.linalg.norm(delta_p, axis=-1, keepdims=True) + 1e-8
+            theta_states = theta_states.at[:-1].set(delta_p / norm)
             theta_key, key = jr.split(key, 2)
             last_theta = jr.uniform(theta_key, (1,), minval=0, maxval=2 * np.pi)[0]
             theta_states = theta_states.at[self.num_agents - 1].set(
@@ -183,9 +170,11 @@ class LidarOmniTarget(LidarEnv):
         N = self.num_agents
 
         # Agent <- agent: rel state (7) + critical flag + local-frame feats.
+        # Shared relative-feature/comm-mask block (base.py _agent_agent_block);
+        # omni reads the first 7 relative columns and adds its local-frame ones.
+        aa_rel_feats, aa_mask = self._agent_agent_block(state)
+        edge_feats_rel = aa_rel_feats[:, :, :7]
         pos_diff = agent_pos[:, None, :] - agent_pos[None, :, :]  # [i,j] = p_i - p_j
-        feats = jax_vmap(self.state2feat)(agent_states)
-        edge_feats_rel = (feats[:, None, :] - feats[None, :, :])[:, :, :7]
 
         # Local frame of the first index i (the receiver): p_j^i = R_i^T (p_j - p_i).
         global_pos_diff = -pos_diff  # [i,j] = p_j - p_i
@@ -193,10 +182,6 @@ class LidarOmniTarget(LidarEnv):
         p_j_i = jnp.einsum("iab,ijb->ija", R_i_T, global_pos_diff)  # (N,N,2)
         i_x_j = p_j_i[:, :, 0:1]
         norm_p_j_i = jnp.linalg.norm(p_j_i, axis=-1, keepdims=True)
-
-        dist = jnp.linalg.norm(pos_diff, axis=-1)
-        dist_no_self = dist + jnp.eye(N) * (self._params["comm_radius"] + 1)
-        aa_mask = dist_no_self < self._params["comm_radius"]
 
         is_critical = jnp.zeros((N, N, 1))
         if N > 1:
@@ -207,6 +192,7 @@ class LidarOmniTarget(LidarEnv):
         assert aa_feats.shape[-1] == self.edge_dim
 
         # Agent <- its own goal: rel state (7) + 3 zero pads; identity mask.
+        feats = jax_vmap(self.state2feat)(agent_states)
         feats_g = jax_vmap(self.state2feat)(state.goal)
         ag_rel = (feats[:, None, :] - feats_g[None, :, :])[:, :, :7]
         ag_feats = jnp.concatenate(
@@ -247,10 +233,7 @@ class LidarOmniTarget(LidarEnv):
         agent_pos = agent_states[:, :2]
         N = self.num_agents
 
-        dist_mat = jnp.linalg.norm(agent_pos[:, None] - agent_pos[None, :], axis=-1)
-        dist_mat_no_self = dist_mat + jnp.eye(N) * 1e6
-        min_dist_agent = jnp.min(dist_mat_no_self, axis=1)
-        agent_coll_cost = self.params["car_radius"] * 2 - min_dist_agent
+        agent_coll_cost = self.params["car_radius"] * 2 - nearest_other_dist(agent_pos)
 
         if self.n_obs == 0 or self.top_k == 0:
             obs_coll_cost = jnp.zeros((N,), dtype=jnp.float32)

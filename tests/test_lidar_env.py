@@ -127,3 +127,20 @@ def test_bicycle_dynamics():
     theta = np.arctan2(s0[:, 3], s0[:, 2])
     np.testing.assert_allclose(s1[:, 0], s0[:, 0] + s0[:, 4] * np.cos(theta) * env.dt, atol=1e-6)
     np.testing.assert_allclose(s1[:, 4], np.clip(s0[:, 4] + 0.5 * env.dt * 10, -0.5, 0.5), atol=1e-6)
+
+
+def test_bicycle_num_obs_zero_rollout():
+    """Regression: bicycle's reset used to build an EMPTY Rectangle at
+    num_obs=0 while step() substitutes None, so the rollout scan's carry
+    changed pytree structure and crashed on the first step."""
+    import functools as ft
+
+    from dgppo_fov_tpu.trainer.rollout import test_rollout
+
+    env = make_env("LidarBicycleTarget", num_agents=3, num_obs=0, max_step=8)
+
+    def act(graph, rnn_state):
+        return jnp.zeros((3, env.action_dim)), rnn_state
+
+    rollout = jax.jit(ft.partial(test_rollout, env, act, jnp.zeros((1, 3, 1, 64))))(jax.random.PRNGKey(0))
+    assert rollout.rewards.shape == (8,)
