@@ -140,6 +140,10 @@ def test(args):
         num_obs=cfg.override("obs", args.obs),
         max_step=args.max_step,
         full_observation=args.full_observation,
+        # Divergence from the reference eval CLI (which always raycasts with
+        # the default): a run trained with --n-rays N must be evaluated with
+        # the same beam count or the lidar observation distribution shifts.
+        n_rays=cfg.get("n_rays"),
     )
 
     step = resolve_step(run_dir, args.step)

@@ -130,7 +130,10 @@ class VMASWheel(MultiAgentEnv):
 
     @property
     def cost_components(self) -> Tuple[str, ...]:
-        return ("agent collisions",)
+        # The reference names only the first of its n_cost=2 components
+        # (vmas_wheel.py:85-87), which truncates any zip over per-constraint
+        # values; both are named here so rendered cost text shows both.
+        return ("agent collisions", "line in avoid sector")
 
     @property
     def graph_spec(self) -> GraphSpec:

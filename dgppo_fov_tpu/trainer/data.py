@@ -27,6 +27,9 @@ class Rollout(NamedTuple):
     log_pis: Optional[Array]  # (b, T, a)
     final_graph: BlockGraph  # (b, ...) — graph after the last step
 
+    # Reference-parity surface (data.py:18-32); unused by this framework's
+    # own code paths. NOTE `length` is the reference's name for the BATCH
+    # size (axis 0), not the episode length — that is `time_horizon`.
     @property
     def length(self) -> int:
         return self.rewards.shape[0]

@@ -159,7 +159,8 @@ class Trainer:
             # tracing/profiling — absent in the reference). Offset from
             # start_step so resumed / very short runs still get a trace
             # (step 2 never occurs when resuming past it).
-            if self.profile_dir is not None and step == min(start_step + 2, self.steps):
+            profile_at = min(start_step + 2, self.steps)
+            if self.profile_dir is not None and step == profile_at:
                 jax.profiler.start_trace(self.profile_dir)
 
             collect_t0 = time.time()
@@ -182,7 +183,7 @@ class Trainer:
             jax.block_until_ready(jax.tree_util.tree_leaves(dict(update_info)))
             update_s = time.time() - update_t0
 
-            if self.profile_dir is not None and step == 2:
+            if self.profile_dir is not None and step == profile_at:
                 jax.profiler.stop_trace()
 
             update_info = dict(update_info) | {
