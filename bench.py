@@ -21,11 +21,16 @@ Env vars:
   BENCH_N_ENV     parallel envs         (default 2048)
   BENCH_MAX_STEP  horizon               (default 128)
   BENCH_N_AGENTS  agents                (default 3)
-  BENCH_MODE      rollout | update      (default rollout)
-  BENCH_ITERS     timed iterations      (default 3)
+  BENCH_MODE      both | rollout | update   (default both: the rollout
+                  steps/s line prints FIRST and the ppo_updates_per_s line
+                  LAST, so a driver that records the final JSON line gets
+                  the update metric while both remain in the output)
+  BENCH_ITERS     timed iterations      (default 3; update iters = min(2, this))
   BENCH_DEADLINE  seconds before partial-result emission (default 480)
   BENCH_CACHE_DIR compilation cache dir (default <repo>/.jax_cache)
   BENCH_CPU_BASELINE  steps/s reference (default: measured on this image)
+  BENCH_STACKED   1|0: stacked Vl+policy update (default 0 — measured
+                  1.03x the separate pair, see algo/stacked.py; A/B knob)
 """
 import json
 import os
@@ -82,7 +87,9 @@ def _heartbeat_loop(period: float = 15.0) -> None:
 
 
 def _emit(partial: bool = False) -> None:
-    """Print the one JSON line. Safe to call from a signal handler."""
+    """Print the current result as one JSON line (safe from a signal
+    handler). In `both` mode this fires once per phase: _RESULT is reset
+    between the rollout and update measurements."""
     global _EMITTED
     if _EMITTED:
         return
@@ -90,12 +97,22 @@ def _emit(partial: bool = False) -> None:
         if partial:
             _hb(f"killed during phase={_PHASE} with no measurable result")
         return
-    _EMITTED = True
+    if not partial:
+        _EMITTED = True
     out = {k: _RESULT[k] for k in ("metric", "value", "unit", "vs_baseline")}
     if partial:
         out["metric"] += ":partial"
+        _EMITTED = True
         _hb(f"emitting partial result from phase={_PHASE}")
     print(json.dumps(out), flush=True)
+
+
+def _emit_and_reset() -> None:
+    """Emit the current phase's line, then arm _RESULT for the next phase."""
+    global _EMITTED
+    _emit()
+    _EMITTED = False
+    _RESULT.clear()
 
 
 def _on_signal(signum, frame):
@@ -137,6 +154,7 @@ def build(env_id: str, n_env: int, max_step: int, n_agents: int):
         seed=0,
         train_steps=100,
         compute_dtype=os.environ.get("BENCH_DTYPE") or None,
+        stacked_update=os.environ.get("BENCH_STACKED", "0") != "0",
     )
     return env, algo
 
@@ -204,18 +222,20 @@ def run_rollout(env, algo, env_id: str, n_env: int, n_agents: int, iters: int) -
         per_chip = steps_per_iter / (sum(times) / len(times)) / n_chips
         _record(metric, per_chip, "steps/s/chip", per_chip / baseline)
         _hb(f"iter {i + 1}: {times[-1]:.2f}s -> running mean {per_chip:.0f} steps/s/chip")
+    return rollout
 
 
-def run_update(env, algo, env_id: str, n_env: int, iters: int) -> None:
+def run_update(env, algo, env_id: str, n_env: int, iters: int, rollout=None) -> None:
     import numpy as np
 
     np.random.seed(0)
     metric = f"ppo_updates_per_s@{env_id}:{n_env}env"
 
-    _set_phase("update: collect compile+run")
-    keys = jr.split(jr.PRNGKey(0), n_env)
-    rollout = algo.collect(algo.params, keys)
-    jax.block_until_ready(rollout.rewards)
+    if rollout is None:
+        _set_phase("update: collect compile+run")
+        keys = jr.split(jr.PRNGKey(0), n_env)
+        rollout = algo.collect(algo.params, keys)
+        jax.block_until_ready(rollout.rewards)
     _set_phase("update: compile+first update")
     t = time.perf_counter()
     info = algo.update(rollout, step=0)
@@ -241,7 +261,7 @@ def main():
     n_env = int(os.environ.get("BENCH_N_ENV", 2048))
     max_step = int(os.environ.get("BENCH_MAX_STEP", 128))
     n_agents = int(os.environ.get("BENCH_N_AGENTS", 3))
-    mode = os.environ.get("BENCH_MODE", "rollout")
+    mode = os.environ.get("BENCH_MODE", "both")
     iters = int(os.environ.get("BENCH_ITERS", 3))
     deadline = float(os.environ.get("BENCH_DEADLINE", 480))
 
@@ -260,8 +280,12 @@ def main():
 
     if mode == "update":
         run_update(env, algo, env_id, n_env, iters)
-    else:
+    elif mode == "rollout":
         run_rollout(env, algo, env_id, n_env, n_agents, iters)
+    else:  # both: rollout line first, update line LAST (the driver keeps it)
+        rollout = run_rollout(env, algo, env_id, n_env, n_agents, iters)
+        _emit_and_reset()
+        run_update(env, algo, env_id, n_env, min(2, iters), rollout=rollout)
 
     signal.alarm(0)
     _emit()

@@ -77,13 +77,14 @@ class DGPPO(InforMARLLagr):
         train_steps: int = 100_000,
         cbf_schedule: bool = True,
         compute_dtype=None,
+        stacked_update: bool = False,
         **kwargs,
     ):
         super().__init__(
             env, node_dim, edge_dim, state_dim, action_dim, n_agents, actor_gnn_layers, Vl_gnn_layers,
             Vh_gnn_layers, gamma, lr_actor, lr_Vl, lr_Vh, batch_size, epoch_ppo, clip_eps, gae_lambda,
             coef_ent, max_grad_norm, seed, use_rnn, rnn_layers, rnn_step, use_lstm,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, stacked_update=stacked_update,
         )
 
         self._store_hyperparameters(locals(), ("alpha", "cbf_eps", "cbf_weight", "cbf_schedule"))
@@ -219,14 +220,13 @@ class DGPPO(InforMARLLagr):
         def sweep(carry, env_idx):
             vl_state, vh_state, pi_state = carry
             batch = take_envs(rollout, env_idx)
-            vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
-            )
             vh_state, vh_info = self.update_Vh(
                 vh_state, take_envs(det_rollout, env_idx), det_vh_targets[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
-            return (vl_state, vh_state, pi_state), vl_info | vh_info | pi_info
+            vl_state, pi_state, fit_info = self._fit_vl_policy(
+                vl_state, pi_state, batch, vl_targets[env_idx], vl.carries[env_idx], adv[env_idx]
+            )
+            return (vl_state, vh_state, pi_state), fit_info | vh_info
 
         (Vl_train_state, Vh_train_state, policy_train_state), info = scan_minibatches(
             sweep, (Vl_train_state, Vh_train_state, policy_train_state), minibatches

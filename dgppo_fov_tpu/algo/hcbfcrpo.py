@@ -73,11 +73,10 @@ class HCBFCRPO(DGPPO):
         def sweep(carry, env_idx):
             vl_state, pi_state = carry
             batch = take_envs(rollout, env_idx)
-            vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
+            vl_state, pi_state, fit_info = self._fit_vl_policy(
+                vl_state, pi_state, batch, vl_targets[env_idx], vl.carries[env_idx], adv[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
-            return (vl_state, pi_state), vl_info | pi_info
+            return (vl_state, pi_state), fit_info
 
         (Vl_train_state, policy_train_state), info = scan_minibatches(
             sweep, (Vl_train_state, policy_train_state), minibatches

@@ -32,9 +32,11 @@ from jax import lax
 from ..graph import nominal_graph
 from ..trainer.data import Rollout
 from ..trainer.rollout import rollout as rollout_fn
+from ..trainer.utils import compute_norm_and_clip, has_any_nan_or_inf
 from ..utils.typing import Action, Array, Params, PRNGKey
 from .base import Algorithm
 from .modules import PPOPolicy, ValueNet
+from .stacked import build_stacked
 from .pipeline import (
     ValuePath,
     efocp_targets,
@@ -88,11 +90,14 @@ class InforMARL(Algorithm):
         cost_schedule: bool = False,
         train_steps: int = 100_000,
         compute_dtype=None,
+        stacked_update: bool = False,
         **kwargs,
     ):
         super().__init__(env=env, node_dim=node_dim, edge_dim=edge_dim, action_dim=action_dim, n_agents=n_agents)
 
-        self._store_hyperparameters(locals(), InforMARL.config_keys + ("compute_dtype",))
+        self._store_hyperparameters(
+            locals(), InforMARL.config_keys + ("compute_dtype", "stacked_update")
+        )
 
         self.nominal_graph = nominal_graph(env.graph_spec)
 
@@ -143,6 +148,11 @@ class InforMARL(Algorithm):
         self.Vl_train_state = TrainState.create(apply_fn=self.Vl.get_value, params=Vl_params, tx=self.Vl_optim)
 
         self.key = key
+
+        # ---- stacked Vl+policy update (algo/stacked.py) ----------------------
+        # None when the config falls outside the stacked fast path; the
+        # separate-network sub-updates below are the fallback (same math).
+        self._stacked = build_stacked(self, env.graph_spec)
 
         # ---- jitted rollout collector ---------------------------------------
         def rollout_fn_single(cur_params, cur_key):
@@ -260,15 +270,98 @@ class InforMARL(Algorithm):
         def sweep(carry, env_idx):
             vl_state, pi_state = carry
             batch = take_envs(rollout, env_idx)
-            vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
+            vl_state, pi_state, fit_info = self._fit_vl_policy(
+                vl_state, pi_state, batch, vl_targets[env_idx], vl.carries[env_idx], adv[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
-            return (vl_state, pi_state), vl_info | pi_info
+            return (vl_state, pi_state), fit_info
 
         (Vl_train_state, policy_train_state), info = scan_minibatches(
             sweep, (Vl_train_state, policy_train_state), minibatches
         )
+        return Vl_train_state, policy_train_state, info
+
+    # ------------------------------------------------------------------------
+    def _fit_vl_policy(self, Vl_train_state, policy_train_state, batch: Rollout, targets, carries, adv):
+        """One minibatch's Vl + policy gradient steps: the stacked joint pass
+        when available, else the two separate sub-updates (identical math —
+        the losses depend on disjoint param trees, so joint and sequential
+        gradients coincide; also measured equal in the round-2 joint-grad
+        experiment)."""
+        if self._stacked is not None:
+            return self.update_Vl_and_policy(Vl_train_state, policy_train_state, batch, targets, carries, adv)
+        Vl_train_state, vl_info = self.update_Vl(Vl_train_state, batch, targets, carries)
+        policy_train_state, pi_info = self.update_policy(policy_train_state, batch, adv)
+        return Vl_train_state, policy_train_state, vl_info | pi_info
+
+    def update_Vl_and_policy(self, Vl_train_state, policy_train_state, batch: Rollout, targets, carries, adv):
+        """Stacked TBPTT sub-update: ONE chunk scan evaluates both networks
+        through double-width kernels (algo/stacked.py), then each network
+        gets its own clipped gradient step. Losses, gradients, metrics, and
+        optimizer behavior are exactly those of update_Vl + update_policy.
+        """
+        chunked = take_chunks(batch, self.rnn_step)
+        chunk_targets = take_chunks(targets, self.rnn_step)
+        chunk_adv = take_chunks(adv, self.rnn_step)
+        carry0_pi = fresh_chunk_carries(batch.rnn_states, self.rnn_step)
+        carry0_vl = fresh_chunk_carries(carries, self.rnn_step)
+        chunk_keys = take_chunks(self._entropy_keys(batch, policy_train_state.step), self.rnn_step)
+        stacked = self._stacked
+
+        def joint(pi_params, vl_params):
+            # Assemble the double-width kernels ONCE per loss — inside the
+            # scan they would be re-concatenated (and, under jax.checkpoint,
+            # re-materialized in the backward) every timestep, which measured
+            # SLOWER than the separate path (see algo/stacked.py docstring).
+            sp = stacked.prepare(pi_params, vl_params)
+
+            def scan_chunk(graphs, actions, keys, c_pi, c_vl):
+                # jax.checkpoint: same remat decision as scan_Vl/scan_eval_action.
+                @jax.checkpoint
+                def body(carry, inp):
+                    c_pi, c_vl = carry
+                    graph, action, key = inp
+                    out = stacked.eval_prepared(sp, graph, c_pi, c_vl)
+                    log_pi = out.dist.log_prob(action)
+                    entropy = out.dist.entropy(seed=key)
+                    value = out.value.squeeze(1).squeeze(0)
+                    return (out.pi_carry, out.vl_carry), (log_pi, entropy, value)
+
+                _, (log_pis, entropies, values) = lax.scan(body, (c_pi, c_vl), (graphs, actions, keys))
+                return log_pis, entropies, values
+
+            logp_new, entropy, preds = jax.vmap(jax.vmap(scan_chunk))(
+                chunked.graph, chunked.actions, chunk_keys, carry0_pi, carry0_vl
+            )
+            clip_loss, clip_metrics = ppo_clip_objective(
+                logp_new, chunked.log_pis, chunk_adv, self.clip_eps
+            )
+            mean_entropy = entropy.mean()
+            loss_pi = clip_loss - self.coef_ent * mean_entropy
+            loss_vl = optax.l2_loss(preds, chunk_targets).mean()
+            return loss_pi + loss_vl, (loss_pi, loss_vl, clip_metrics | {"policy/entropy": mean_entropy})
+
+        (_, (loss_pi, loss_vl, aux)), (g_pi, g_vl) = jax.value_and_grad(
+            joint, argnums=(0, 1), has_aux=True
+        )(policy_train_state.params, Vl_train_state.params)
+
+        # Per-network rails, exactly pipeline.fit's semantics.
+        pi_nan = has_any_nan_or_inf(g_pi).astype(jnp.float32)
+        vl_nan = has_any_nan_or_inf(g_vl).astype(jnp.float32)
+        g_pi, pi_norm = compute_norm_and_clip(g_pi, self.max_grad_norm)
+        g_vl, vl_norm = compute_norm_and_clip(g_vl, self.max_grad_norm)
+        policy_train_state = policy_train_state.apply_gradients(grads=g_pi)
+        Vl_train_state = Vl_train_state.apply_gradients(grads=g_vl)
+        info = {
+            "Vl/loss": loss_vl,
+            "Vl/grad_norm": vl_norm,
+            "Vl/has_nan": vl_nan,
+            "Vl/max_target": jnp.max(targets),
+            "Vl/min_target": jnp.min(targets),
+            "policy/loss": loss_pi,
+            "policy/grad_norm": pi_norm,
+            "policy/has_nan": pi_nan,
+            "policy/log_pi_min": batch.log_pis.min(),
+        } | aux
         return Vl_train_state, policy_train_state, info
 
     # ------------------------------------------------------------------------

@@ -70,13 +70,14 @@ class InforMARLLagr(InforMARL):
         lagr_init: float = 0.78,
         lr_lagr: float = 1e-7,
         compute_dtype=None,
+        stacked_update: bool = False,
         **kwargs,
     ):
         super().__init__(
             env, node_dim, edge_dim, state_dim, action_dim, n_agents, 0.0, actor_gnn_layers, Vl_gnn_layers,
             gamma, lr_actor, lr_Vl, batch_size, epoch_ppo, clip_eps, gae_lambda, coef_ent, max_grad_norm,
             seed, use_rnn, rnn_layers, rnn_step, use_lstm,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, stacked_update=stacked_update,
         )
 
         self._store_hyperparameters(locals(), ("lr_Vh", "Vh_gnn_layers", "lagr_init", "lr_lagr"))
@@ -192,17 +193,16 @@ class InforMARLLagr(InforMARL):
         def sweep(carry, env_idx):
             vl_state, vh_state, pi_state, lagr = carry
             batch = take_envs(rollout, env_idx)
-            vl_state, vl_info = self.update_Vl(
-                vl_state, batch, vl_targets[env_idx], vl.carries[env_idx]
-            )
             vh_state, vh_info = self.update_Vh(
                 vh_state, batch, vh_targets[env_idx], vh.carries[env_idx]
             )
-            pi_state, pi_info = self.update_policy(pi_state, batch, adv[env_idx])
+            vl_state, pi_state, fit_info = self._fit_vl_policy(
+                vl_state, pi_state, batch, vl_targets[env_idx], vl.carries[env_idx], adv[env_idx]
+            )
             lagr, lagr_info = self.update_lagr(
                 lagr, pi_state, batch, vh.per_step[env_idx], constraint_adv[env_idx]
             )
-            return (vl_state, vh_state, pi_state, lagr), vl_info | vh_info | pi_info | lagr_info
+            return (vl_state, vh_state, pi_state, lagr), fit_info | vh_info | lagr_info
 
         (Vl_train_state, Vh_train_state, policy_train_state, ah_lagr), info = scan_minibatches(
             sweep, (Vl_train_state, Vh_train_state, policy_train_state, ah_lagr), minibatches
