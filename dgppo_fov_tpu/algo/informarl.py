@@ -394,10 +394,21 @@ class InforMARL(Algorithm):
         )
         return log_pis, entropies, carries, final_rnn_state
 
+    #: Reference-compat entropy mode (PARITY.md divergence #1): when set to an
+    #: int k, every (env, t) entropy sample uses the SAME jr.PRNGKey(k) — the
+    #: fixed perturbation the reference bakes in at trace time via
+    #: np.random.randint (reference distribution.py:40-43). Used by
+    #: tests/test_reference_parity_update_entropy.py to prove update parity
+    #: at coef_ent>0; None (default) keeps the documented properly-keyed
+    #: estimator.
+    entropy_fixed_key: Optional[int] = None
+
     def _entropy_keys(self, rollout: Rollout, optimizer_step) -> Array:
         """One PRNG key per (env, t) for the entropy estimator's sample,
         keyed off the optimizer step so PPO epochs differ (informarl.py:405-416)."""
         n_env, horizon = rollout.log_pis.shape[:2]
+        if self.entropy_fixed_key is not None:
+            return jnp.broadcast_to(jr.PRNGKey(self.entropy_fixed_key), (n_env, horizon, 2))
         keys = jr.split(jr.fold_in(self.key, optimizer_step), n_env * horizon)
         return keys.reshape(n_env, horizon, 2)
 
