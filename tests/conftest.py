@@ -9,12 +9,79 @@ import os
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The suite is XLA-CPU-COMPILE-bound on this 1-core image (~64 min at full
+# backend optimization). Dialing the backend optimization level down speeds
+# the measured compile-heavy tests ~35-50% with every golden/bitwise parity
+# test still green — both frameworks run under the same process, so the
+# compiler settings apply to reference and ours identically. Runtime-speed
+# loss is irrelevant here (tests are compile-dominated). Must be set before
+# the first jax backend touch; subprocess tests inherit it via os.environ.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref_oracle():
+    """The actual reference (/root/reference/dgppo) imported in-process under
+    the ref_oracle shims — one import for the whole session."""
+    import os as _os
+    import sys as _sys
+
+    if not _os.path.isdir("/root/repo/../reference") and not _os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "scripts"))
+    from ref_oracle.shims import import_reference
+
+    return import_reference("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def parity_rollouts(ref_oracle):
+    """Session-shared inputs for the update-parity tests: ONE reference
+    stochastic rollout (PRNGKey(7)) and ONE deterministic rollout
+    (PRNGKey(11)) on the tiny MPETarget workload, plus their conversions to
+    our layout. Valid for every algorithm class because they share the
+    policy-init key stream (see tests/parity_common.py); collecting them once
+    saves ~4 redundant reference-collect compiles across the suite."""
+    import types
+
+    import jax.random as jr
+
+    from .parity_common import B, convert_rollout, build_pair
+
+    env_r, env_o, algo_r, algo_o = build_pair("informarl")
+    ro_r = algo_r.collect(algo_r.params, jr.split(jr.PRNGKey(7), B))
+
+    # Deterministic rollout with the same (shared-stream) policy params —
+    # what DGPPO's det_rollout_fn would collect at PRNGKey(11).
+    import functools as ft
+
+    import jax as _jax
+
+    from dgppo.trainer.utils import test_rollout as ref_test_rollout
+
+    def det_single(cur_key):
+        return ref_test_rollout(
+            algo_r._env, ft.partial(algo_r.act, params=algo_r.params), algo_r.init_rnn_state, cur_key
+        )
+
+    det_r = _jax.jit(_jax.vmap(det_single))(jr.split(jr.PRNGKey(11), B))
+
+    return types.SimpleNamespace(
+        ro_r=ro_r,
+        ro_o=convert_rollout(env_o, ro_r),
+        det_r=det_r,
+        det_o=convert_rollout(env_o, det_r),
+    )
 
 
 @pytest.fixture(autouse=True, scope="module")
