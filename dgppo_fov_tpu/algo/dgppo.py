@@ -24,6 +24,7 @@ from flax.training.train_state import TrainState
 from ..graph import BlockGraph
 from ..trainer.data import Rollout
 from ..trainer.rollout import test_rollout as det_rollout_fn
+from ..utils.tree import lax_chunk_vmap
 from ..utils.typing import Array, Params
 from .informarl_lagr import InforMARLLagr
 from .modules import ValueNet
@@ -44,6 +45,14 @@ from .pipeline import (
 
 class DGPPO(InforMARLLagr):
     config_keys = InforMARLLagr.config_keys + ("alpha", "cbf_eps", "cbf_weight", "cbf_schedule")
+
+    # Env-axis chunk bound for the whole-rollout Vh forwards in
+    # _constraint_path (tests override it to exercise the chunked path at
+    # tiny shapes). Measured on the 15.75 GB v5e chip (T=128): unchunked,
+    # n_env=4096 needs 22.7 GB (OOM); chunked at 2048 it misses by 27 MB;
+    # chunked at 1024 it fits, and the 2048-env headline update is
+    # perf-neutral chunked vs not (0.535 vs 0.534 updates/s).
+    VH_FWD_ENV_CHUNK = 1024
 
     def __init__(
         self,
@@ -140,7 +149,15 @@ class DGPPO(InforMARLLagr):
         graph before reading Vh there (dgppo.py:219-229). Returns the
         (b, T+1, a, h) path."""
         read_vh = ft.partial(self.get_Vh, params={"Vh": vh_params})
-        vh_steps = jax.vmap(jax.vmap(read_vh))(rollout.graph, rollout.rnn_states)
+        # Whole-rollout forward: chunk the env axis past VH_FWD_ENV_CHUNK so
+        # the per-step edge activations ([b, T, edges, 3*dim]) stay under
+        # HBM — at n_env=4096, T=128 the unchunked temp alone is 10.1 GB.
+        # <= VH_FWD_ENV_CHUNK envs compiles to the identical unchunked HLO;
+        # the chunked path is bitwise-equal and measured perf-neutral at the
+        # 2048-env headline shape (tests/test_algo_dgppo.py).
+        vh_steps = lax_chunk_vmap(
+            jax.vmap(read_vh), (rollout.graph, rollout.rnn_states), self.VH_FWD_ENV_CHUNK
+        )
 
         def bootstrap(graph, carries):
             _, last_carry = self.act(graph, carries[-1], {"policy": policy_params})

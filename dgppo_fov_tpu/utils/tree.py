@@ -94,6 +94,33 @@ def chunk_vmap(fn: Callable, chunks: int) -> Callable:
     return wrapped
 
 
+def lax_chunk_vmap(fn: Callable, args: tuple, max_chunk: int):
+    """vmap `fn` over the shared leading axis of `args`, evaluated in equal
+    sequential chunks via lax.map to bound peak memory INSIDE jit.
+
+    Unlike chunk_vmap above (a host-side loop of jitted pieces, parity with
+    reference utils/utils.py:101-119), this stays one traced program — the
+    chunk loop compiles to a single reused device loop body, so HLO temp
+    memory is the per-chunk working set. Measured need: the DGPPO update's
+    whole-rollout Vh forward materializes a [n_env, T, edges, 3*dim] temp
+    (10.1 GB at n_env=4096, T=128) and OOMs the 15.75 GB chip without this.
+
+    Falls back to a plain vmap when the batch already fits (<= max_chunk) or
+    when no equal split with a reasonable chunk size exists (pathological
+    prime batch sizes) — identical HLO to the pre-chunking code in the
+    common case, so the <=2048-env headline path is untouched.
+    """
+    b = jtu.tree_leaves(args)[0].shape[0]
+    if b <= max_chunk:
+        return jax.vmap(fn)(*args)
+    n_chunks = next((c for c in range(-(-b // max_chunk), b + 1) if b % c == 0), b)
+    if b // n_chunks < max(1, max_chunk // 4):
+        return jax.vmap(fn)(*args)
+    chunked = jtu.tree_map(lambda x: x.reshape(n_chunks, b // n_chunks, *x.shape[1:]), args)
+    out = jax.lax.map(lambda a: jax.vmap(fn)(*a), chunked)
+    return jtu.tree_map(lambda x: x.reshape(b, *x.shape[2:]), out)
+
+
 def assert_shape(x, shape, name: str = ""):
     """Trace-time shape contract check (free under jit)."""
     if isinstance(shape, int):

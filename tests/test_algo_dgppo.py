@@ -151,3 +151,46 @@ def test_collect_and_update_rnn_variants(kw):
     info = algo.update(rollout, step=0)
     assert np.isfinite(float(info["policy/loss"]))
     assert float(info["policy/has_nan"]) == 0.0
+
+
+def test_constraint_path_env_chunking_is_exact():
+    """The lax.map env-chunked whole-rollout Vh forward (VH_FWD_ENV_CHUNK,
+    added to fit n_env>2048 updates in HBM) must equal the unchunked vmap
+    bitwise — same reduction order per env, only the batch walked in pieces."""
+    np.random.seed(0)
+    n_env, max_step = 8, 16
+    env, algo = _make("dgppo", n_env, max_step)
+
+    keys = jr.split(jr.PRNGKey(3), n_env)
+    rollout = algo.collect(algo.params, keys)
+    from dgppo_fov_tpu.algo.pipeline import strip_env_states
+
+    rollout = strip_env_states(rollout)
+
+    path = lambda: jax.jit(
+        lambda ro: algo._constraint_path(ro, algo.params["Vh"], algo.params["policy"])
+    )(rollout)
+    unchunked = np.asarray(path())  # n_env <= VH_FWD_ENV_CHUNK: plain vmap
+    algo.VH_FWD_ENV_CHUNK = 2  # instance override: 4 chunks of 2 envs
+    chunked = np.asarray(path())
+    assert unchunked.shape[:2] == (n_env, max_step + 1)
+    np.testing.assert_array_equal(unchunked, chunked)
+
+
+def test_update_with_env_chunking_matches_unchunked():
+    """One full DGPPO update with the chunked constraint path equals the
+    unchunked update leaf-by-leaf."""
+    np.random.seed(0)
+    n_env, max_step = 8, 16
+
+    def run(chunk):
+        np.random.seed(0)
+        env, algo = _make("dgppo", n_env, max_step)
+        if chunk is not None:
+            algo.VH_FWD_ENV_CHUNK = chunk
+        rollout = algo.collect(algo.params, jr.split(jr.PRNGKey(4), n_env))
+        algo.update(rollout, step=0)
+        return jax.tree_util.tree_map(np.asarray, algo.params)
+
+    base, chunked = run(None), run(2)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, base, chunked)
