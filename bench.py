@@ -14,21 +14,34 @@ Engineered to survive the axon platform's erratic remote-compile latency
  - SIGTERM/SIGINT/SIGALRM handler that emits the JSON line with whatever
    has completed (timed iters > post-compile estimate > nothing);
  - a self-deadline (BENCH_DEADLINE, default 480 s) that fires before typical
-   external 10-minute timeouts.
+   external 10-minute timeouts;
+ - the UPDATE phase runs FIRST, on a shape-identical all-zeros rollout built
+   with jax.eval_shape (update timing is shape-dependent only — no
+   data-dependent control flow under jit), so the headline ppo_updates_per_s
+   number exists ~2 min in and never waits on the 128-step collect program,
+   whose remote compile was measured anywhere from 66 s to >480 s for the
+   SAME program depending on axon server load (2026-08-19). Both phase
+   lines are held and printed together with the ppo_updates_per_s line
+   LAST, so a driver that records the final JSON line gets the update
+   metric whenever ANY phase completed.
 
 Env vars:
   BENCH_ENV       environment id        (default MPETarget)
   BENCH_N_ENV     parallel envs         (default 2048)
   BENCH_MAX_STEP  horizon               (default 128)
   BENCH_N_AGENTS  agents                (default 3)
-  BENCH_MODE      both | rollout | update   (default both: the rollout
-                  steps/s line prints FIRST and the ppo_updates_per_s line
-                  LAST, so a driver that records the final JSON line gets
-                  the update metric while both remain in the output)
+  BENCH_MODE      both | rollout | update   (default both; see above)
   BENCH_ITERS     timed iterations      (default 3; update iters = min(2, this))
   BENCH_DEADLINE  seconds before partial-result emission (default 480)
   BENCH_CACHE_DIR compilation cache dir (default <repo>/.jax_cache)
   BENCH_CPU_BASELINE  steps/s reference (default: measured on this image)
+  BENCH_CPU_UPDATE_BASELINE  updates/s reference (default: measured on this
+                  image — same code, one CPU device, same 2048x128 shapes)
+  BENCH_UPDATE_INPUT  zeros | collect  (default zeros; collect reproduces
+                  the round-2 behavior of timing the update on a really
+                  collected rollout — timing-identical, much more compile)
+  BENCH_DTYPE     compute dtype, e.g. bf16 (default f32; bf16 measures
+                  1.6x on the update, see COVERAGE.md)
   BENCH_STACKED   1|0: stacked Vl+policy update (default 0 — measured
                   1.03x the separate pair, see algo/stacked.py; A/B knob)
 """
@@ -65,7 +78,8 @@ import jax.random as jr
 # ---------------------------------------------------------------- telemetry
 
 _PHASE = "startup"
-_RESULT = {}  # mutated as the run progresses; signal handler emits from it
+_RESULT = {}  # staging for the phase currently being measured
+_DONE = []  # finalized phase results, emitted together at the end
 _EMITTED = False
 
 
@@ -86,32 +100,41 @@ def _heartbeat_loop(period: float = 15.0) -> None:
             _hb(f"heartbeat: phase={_PHASE} cpu={time.process_time():.0f}s")
 
 
+def _ordered_lines(partial: bool):
+    """All completed lines plus the in-flight staging (tagged :partial),
+    sorted so a ppo_updates_per_s line is LAST (it is the metric the driver
+    must capture when it records only the final JSON line)."""
+    lines = list(_DONE)
+    if partial and "value" in _RESULT:
+        lines.append(dict(_RESULT, metric=_RESULT["metric"] + ":partial"))
+    return sorted(lines, key=lambda r: r["metric"].startswith("ppo_updates_per_s"))
+
+
 def _emit(partial: bool = False) -> None:
-    """Print the current result as one JSON line (safe from a signal
-    handler). In `both` mode this fires once per phase: _RESULT is reset
-    between the rollout and update measurements."""
+    """Print every measured line, one JSON object per line (safe from a
+    signal handler), update metric last."""
     global _EMITTED
     if _EMITTED:
         return
-    if "value" not in _RESULT:
+    lines = _ordered_lines(partial)
+    if not lines:
         if partial:
             _hb(f"killed during phase={_PHASE} with no measurable result")
         return
-    if not partial:
-        _EMITTED = True
-    out = {k: _RESULT[k] for k in ("metric", "value", "unit", "vs_baseline")}
+    _EMITTED = True
     if partial:
-        out["metric"] += ":partial"
-        _EMITTED = True
-        _hb(f"emitting partial result from phase={_PHASE}")
-    print(json.dumps(out), flush=True)
+        _hb(f"emitting {len(lines)} line(s) from phase={_PHASE} (deadline/signal)")
+    for out in lines:
+        print(
+            json.dumps({k: out[k] for k in ("metric", "value", "unit", "vs_baseline")}),
+            flush=True,
+        )
 
 
-def _emit_and_reset() -> None:
-    """Emit the current phase's line, then arm _RESULT for the next phase."""
-    global _EMITTED
-    _emit()
-    _EMITTED = False
+def _finalize_phase() -> None:
+    """Move the staged phase result into the finalized set."""
+    if "value" in _RESULT:
+        _DONE.append(dict(_RESULT))
     _RESULT.clear()
 
 
@@ -225,23 +248,47 @@ def run_rollout(env, algo, env_id: str, n_env: int, n_agents: int, iters: int) -
     return rollout
 
 
+def zeros_rollout(algo, n_env: int):
+    """A shape/dtype-identical all-zeros rollout via jax.eval_shape — no
+    collect compile. Update timing is shape-dependent only (static control
+    flow under jit), so timing on zeros equals timing on collected data;
+    validated against the collected-input numbers in COVERAGE.md."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    keys = jr.split(jr.PRNGKey(0), n_env)
+    shapes = jax.eval_shape(algo.collect, algo.params, keys)
+    return jtu.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+# Measured on this image 2026-08-19 (one CPU device, same code/shapes as the
+# TPU update: DGPPO @ MPETarget n=3, 2048 envs x T=128, 2 minibatches; timed
+# iters 417.9 s and 390.3 s after a 537.6 s compile+first run).
+CPU_UPDATE_BASELINE = 0.00247  # updates/s (~405 s per update)
+
+
 def run_update(env, algo, env_id: str, n_env: int, iters: int, rollout=None) -> None:
     import numpy as np
 
     np.random.seed(0)
     metric = f"ppo_updates_per_s@{env_id}:{n_env}env"
+    baseline = float(os.environ.get("BENCH_CPU_UPDATE_BASELINE", CPU_UPDATE_BASELINE))
 
     if rollout is None:
-        _set_phase("update: collect compile+run")
-        keys = jr.split(jr.PRNGKey(0), n_env)
-        rollout = algo.collect(algo.params, keys)
-        jax.block_until_ready(rollout.rewards)
+        if os.environ.get("BENCH_UPDATE_INPUT", "zeros") == "collect":
+            _set_phase("update: collect compile+run")
+            keys = jr.split(jr.PRNGKey(0), n_env)
+            rollout = algo.collect(algo.params, keys)
+            jax.block_until_ready(rollout.rewards)
+        else:
+            _set_phase("update: build zeros rollout (eval_shape)")
+            rollout = zeros_rollout(algo, n_env)
     _set_phase("update: compile+first update")
     t = time.perf_counter()
     info = algo.update(rollout, step=0)
     jax.block_until_ready(info["policy/loss"])
     dt0 = time.perf_counter() - t
-    _record(metric, 1.0 / dt0, "updates/s", 1.0 / dt0)
+    _record(metric, 1.0 / dt0, "updates/s", (1.0 / dt0) / baseline)
     _set_phase(f"update: compiled+ran in {dt0:.1f}s")
 
     times = []
@@ -252,7 +299,7 @@ def run_update(env, algo, env_id: str, n_env: int, iters: int, rollout=None) -> 
         jax.block_until_ready(info["policy/loss"])
         times.append(time.perf_counter() - t)
         ups = 1.0 / (sum(times) / len(times))
-        _record(metric, ups, "updates/s", ups)
+        _record(metric, ups, "updates/s", ups / baseline)
         _hb(f"iter {i + 1}: {times[-1]:.2f}s -> running mean {ups:.3f} updates/s")
 
 
@@ -280,12 +327,18 @@ def main():
 
     if mode == "update":
         run_update(env, algo, env_id, n_env, iters)
+        _finalize_phase()
     elif mode == "rollout":
         run_rollout(env, algo, env_id, n_env, n_agents, iters)
-    else:  # both: rollout line first, update line LAST (the driver keeps it)
-        rollout = run_rollout(env, algo, env_id, n_env, n_agents, iters)
-        _emit_and_reset()
-        run_update(env, algo, env_id, n_env, min(2, iters), rollout=rollout)
+        _finalize_phase()
+    else:
+        # both: the update phase runs FIRST (its zeros input skips the
+        # collect compile, so the headline metric exists early); the lines
+        # print together at the end with ppo_updates_per_s LAST.
+        run_update(env, algo, env_id, n_env, min(2, iters))
+        _finalize_phase()
+        run_rollout(env, algo, env_id, n_env, n_agents, iters)
+        _finalize_phase()
 
     signal.alarm(0)
     _emit()
