@@ -23,6 +23,18 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# Opt-in persistent compile cache for the suite (TEST_JAX_CACHE_DIR=...):
+# CPU executables cache across processes/runs, unlike axon TPU programs.
+# Exported through os.environ (jax reads these natively) so the subprocess
+# tests (CLI trains, two-process jax.distributed) share the same cache.
+if os.environ.get("TEST_JAX_CACHE_DIR"):
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.environ["TEST_JAX_CACHE_DIR"]
+    os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+    os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    jax.config.update("jax_compilation_cache_dir", os.environ["TEST_JAX_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
