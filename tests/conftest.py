@@ -23,11 +23,18 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-# Opt-in persistent compile cache for the suite (TEST_JAX_CACHE_DIR=...):
-# CPU executables cache across processes/runs, unlike axon TPU programs.
+# Persistent compile cache for the suite: CPU executables cache across
+# processes/runs, unlike axon TPU programs. The committed tests/.jax_cache
+# (populated by a full suite run on this image) is used automatically when
+# present; override the location with TEST_JAX_CACHE_DIR=<dir>, or disable
+# with TEST_JAX_CACHE_DIR=0 (do that when running on a DIFFERENT CPU
+# microarchitecture — cached executables embed machine features).
 # Exported through os.environ (jax reads these natively) so the subprocess
 # tests (CLI trains, two-process jax.distributed) share the same cache.
-if os.environ.get("TEST_JAX_CACHE_DIR"):
+_default_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+if not os.environ.get("TEST_JAX_CACHE_DIR") and os.path.isdir(_default_cache):
+    os.environ["TEST_JAX_CACHE_DIR"] = _default_cache
+if os.environ.get("TEST_JAX_CACHE_DIR", "0") != "0":
     os.environ["JAX_COMPILATION_CACHE_DIR"] = os.environ["TEST_JAX_CACHE_DIR"]
     os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
     os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
