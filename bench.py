@@ -18,12 +18,15 @@ Engineered to survive the axon platform's erratic remote-compile latency
  - the UPDATE phase runs FIRST, on a shape-identical all-zeros rollout built
    with jax.eval_shape (update timing is shape-dependent only — no
    data-dependent control flow under jit), so the headline ppo_updates_per_s
-   number exists ~2 min in and never waits on the 128-step collect program,
-   whose remote compile was measured anywhere from 66 s to >480 s for the
-   SAME program depending on axon server load (2026-08-19). Both phase
-   lines are held and printed together with the ppo_updates_per_s line
-   LAST, so a driver that records the final JSON line gets the update
-   metric whenever ANY phase completed.
+   number typically exists ~2 min in. NOTE: DGPPO.update internally compiles
+   its own deterministic 128-step rollout, so ONE rollout-class program
+   still sits before the update metric (two sat before it in the old
+   rollout-first order); the remote compile of such programs was measured
+   anywhere from 66 s to >480 s for the SAME program depending on axon
+   server load (2026-08-19), so the exposure is halved, not eliminated.
+   Both phase lines are held and printed together with the
+   ppo_updates_per_s line LAST, so a driver that records the final JSON
+   line gets the update metric whenever ANY phase completed.
 
 Env vars:
   BENCH_ENV       environment id        (default MPETarget)

@@ -48,7 +48,10 @@ class DGPPO(InforMARLLagr):
 
     # Env-axis chunk bound for the whole-rollout Vh forwards in
     # _constraint_path (tests override it to exercise the chunked path at
-    # tiny shapes). Measured on the 15.75 GB v5e chip (T=128): unchunked,
+    # tiny shapes). Like every algorithm hyperparameter, it is read at
+    # update_inner TRACE time (jit is keyed on static self): set it before
+    # the first update; later mutation is silently ignored by the cached
+    # executable. Measured on the 15.75 GB v5e chip (T=128): unchunked,
     # n_env=4096 needs 22.7 GB (OOM); chunked at 2048 it misses by 27 MB;
     # chunked at 1024 it fits, and the 2048-env headline update is
     # perf-neutral chunked vs not (0.535 vs 0.534 updates/s).

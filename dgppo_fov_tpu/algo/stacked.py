@@ -47,9 +47,17 @@ separate networks (block-diagonal structure means no cross-terms, and the
 f32 sums differ only by accumulation order — zeros are exact additive
 identities). Gradients of `loss_pi(pi_params) + loss_vl(vl_params)` are the
 exact per-network gradients because each loss depends on only its own tree.
-Guarded by tests/test_stacked.py (stacked == separate forward and update)
-and the four leaf-level reference-parity update tests, which run with
-stacking ON.
+Guarded by tests/test_stacked.py (stacked == separate forward to 1e-5 and
+leaf-identical full updates vs the separate path). The leaf-level
+reference-parity update tests run with the DEFAULT stacked_update=False;
+stacking was additionally checked against them in a one-off forced-on run
+(2026-08-18), but that configuration is not part of the suite.
+
+Caveat: prepare()/the specs below hardcode the production architecture
+(msg_dim=32, out_dim=64, 3 heads, 2 head layers, GRU 64) rather than
+deriving it from the live PPOPolicy/ValueNet; build_stacked() refuses
+non-default layer counts/LSTM, and test_stacked.py pins the rest — if the
+module wiring in algo/modules.py changes, update both together.
 
 Parity reference for the math being stacked: reference nn/gnn.py:78-142,
 nn/mlp.py:6-30, algo/module/policy.py:20-78, algo/module/value.py:15-44 —

@@ -105,20 +105,27 @@ def lax_chunk_vmap(fn: Callable, args: tuple, max_chunk: int):
     whole-rollout Vh forward materializes a [n_env, T, edges, 3*dim] temp
     (10.1 GB at n_env=4096, T=128) and OOMs the 15.75 GB chip without this.
 
-    Falls back to a plain vmap when the batch already fits (<= max_chunk) or
-    when no equal split with a reasonable chunk size exists (pathological
-    prime batch sizes) — identical HLO to the pre-chunking code in the
-    common case, so the <=2048-env headline path is untouched.
+    When the batch already fits (<= max_chunk) this is a plain vmap —
+    identical HLO to the pre-chunking code, so the headline path is
+    untouched. A batch with no equal split (e.g. prime) is zero-padded up
+    to one, run chunked, and sliced back: the real rows are bitwise
+    unaffected (each batch element is independent under vmap) and the
+    memory bound still holds — never fall back to the unchunked form,
+    which is exactly the OOM this function exists to prevent.
     """
     b = jtu.tree_leaves(args)[0].shape[0]
     if b <= max_chunk:
         return jax.vmap(fn)(*args)
-    n_chunks = next((c for c in range(-(-b // max_chunk), b + 1) if b % c == 0), b)
-    if b // n_chunks < max(1, max_chunk // 4):
-        return jax.vmap(fn)(*args)
-    chunked = jtu.tree_map(lambda x: x.reshape(n_chunks, b // n_chunks, *x.shape[1:]), args)
+    n_chunks = -(-b // max_chunk)
+    chunk = -(-b // n_chunks)
+    pad = n_chunks * chunk - b
+    if pad:
+        args = jtu.tree_map(
+            lambda x: jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)]), args
+        )
+    chunked = jtu.tree_map(lambda x: x.reshape(n_chunks, chunk, *x.shape[1:]), args)
     out = jax.lax.map(lambda a: jax.vmap(fn)(*a), chunked)
-    return jtu.tree_map(lambda x: x.reshape(b, *x.shape[2:]), out)
+    return jtu.tree_map(lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:b], out)
 
 
 def assert_shape(x, shape, name: str = ""):

@@ -41,6 +41,10 @@ def main():
         algo="dgppo", env=env, node_dim=env.node_dim, edge_dim=env.edge_dim,
         state_dim=env.state_dim, action_dim=env.action_dim, n_agents=env.num_agents,
         batch_size=N_ENV * T // 2, rnn_step=16, seed=0, train_steps=100,
+        # Without this algo._stacked is None and update_Vl_and_policy (the
+        # joint path timed below) would crash; the separate sub-updates are
+        # unaffected by the flag.
+        stacked_update=True,
     )
     keys = jr.split(jr.PRNGKey(0), N_ENV)
     rollout = algo.collect(algo.params, keys)

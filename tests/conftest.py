@@ -31,9 +31,44 @@ import jax  # noqa: E402
 # microarchitecture — cached executables embed machine features).
 # Exported through os.environ (jax reads these natively) so the subprocess
 # tests (CLI trains, two-process jax.distributed) share the same cache.
+def _host_key() -> str:
+    """Fingerprint of what makes a cached CPU executable loadable here:
+    the CPU feature flags plus the jax version."""
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(f"{flags}|jax={jax.__version__}".encode()).hexdigest()[:16]
+
+
 _default_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 if not os.environ.get("TEST_JAX_CACHE_DIR") and os.path.isdir(_default_cache):
-    os.environ["TEST_JAX_CACHE_DIR"] = _default_cache
+    _marker = os.path.join(_default_cache, "HOST_KEY")
+    try:
+        _recorded = open(_marker).read().strip()
+    except OSError:
+        _recorded = None
+    if _recorded is None or _recorded == _host_key():
+        os.environ["TEST_JAX_CACHE_DIR"] = _default_cache
+        if _recorded is None:
+            with open(_marker, "w") as f:
+                f.write(_host_key())
+    else:
+        import sys as _sys
+
+        print(
+            "[conftest] tests/.jax_cache was populated on a different CPU/jax "
+            "(HOST_KEY mismatch) — persistent compile cache DISABLED; compiles "
+            "will be cold. Set TEST_JAX_CACHE_DIR=<dir> to use a local cache.",
+            file=_sys.stderr,
+        )
 if os.environ.get("TEST_JAX_CACHE_DIR", "0") != "0":
     os.environ["JAX_COMPILATION_CACHE_DIR"] = os.environ["TEST_JAX_CACHE_DIR"]
     os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"

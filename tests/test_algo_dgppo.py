@@ -175,6 +175,9 @@ def test_constraint_path_env_chunking_is_exact():
     chunked = np.asarray(path())
     assert unchunked.shape[:2] == (n_env, max_step + 1)
     np.testing.assert_array_equal(unchunked, chunked)
+    algo.VH_FWD_ENV_CHUNK = 3  # uneven split: 3 chunks of 3 with 1 pad env
+    padded = np.asarray(path())
+    np.testing.assert_array_equal(unchunked, padded)
 
 
 def test_update_with_env_chunking_matches_unchunked():
