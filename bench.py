@@ -72,6 +72,44 @@ if os.environ.get("BENCH_PLATFORM"):
 # remote compiles (algo init alone was 114 s wall / 9.5 s CPU at TINY shapes).
 # With the committed pre-warmed cache the same init is ~10 s.
 _CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+
+
+def _cache_host_ok(cache_dir: str) -> bool:
+    """HOST_KEY guard (mirrors tests/conftest.py): cached CPU executables
+    embed the compile machine's features, so a cache populated on a different
+    CPU microarch must not be loaded when benching with BENCH_PLATFORM=cpu.
+    TPU entries are host-independent (compiled server-side), so the guard
+    only applies to CPU-backend runs."""
+    if os.environ.get("BENCH_PLATFORM") != "cpu":
+        return True
+    marker = os.path.join(cache_dir, "HOST_KEY")
+    try:
+        recorded = open(marker).read().strip()
+    except OSError:
+        return True  # unstamped dir: jax's own keying is the only guard
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return recorded == hashlib.sha256(f"{flags}|jax={jax.__version__}".encode()).hexdigest()[:16]
+
+
+if not _cache_host_ok(_CACHE_DIR):
+    import tempfile
+
+    print(
+        f"[bench] {_CACHE_DIR} was populated on a different CPU/jax (HOST_KEY "
+        "mismatch) — using a throwaway cache dir for this CPU run.",
+        file=sys.stderr,
+    )
+    _CACHE_DIR = tempfile.mkdtemp(prefix="bench_jax_cache_")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -342,6 +380,21 @@ def main():
         _finalize_phase()
         run_rollout(env, algo, env_id, n_env, n_agents, iters)
         _finalize_phase()
+        # Near-floor breadth row (VERDICT r3 #3): with remaining deadline
+        # budget, time ONE lidar-family rollout (LidarSpread is the README
+        # row closest to the 50x floor) as an additional held line. Partial
+        # emission (signal handler) still protects the two primary metrics
+        # if this phase outlives the deadline.
+        lidar_env_id = os.environ.get("BENCH_LIDAR_ENV", "LidarSpread")
+        lidar_min_budget = float(os.environ.get("BENCH_LIDAR_MIN_BUDGET", 100))
+        budget_left = deadline - (time.time() - _T0)
+        if lidar_env_id != "0" and budget_left > lidar_min_budget:
+            _set_phase(f"lidar row: build {lidar_env_id} ({budget_left:.0f}s budget left)")
+            lenv, lalgo = build(lidar_env_id, n_env, max_step, n_agents)
+            run_rollout(lenv, lalgo, lidar_env_id, n_env, n_agents, min(2, iters))
+            _finalize_phase()
+        elif lidar_env_id != "0":
+            _hb(f"skipping lidar row: only {budget_left:.0f}s of deadline left")
 
     signal.alarm(0)
     _emit()

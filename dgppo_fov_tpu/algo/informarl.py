@@ -177,6 +177,13 @@ class InforMARL(Algorithm):
     def params(self) -> Params:
         return {"policy": self.policy_train_state.params, "Vl": self.Vl_train_state.params}
 
+    @property
+    def train_states(self) -> dict:
+        """Named TrainStates — the trainer reads apply_if_finite's
+        notfinite_count off each opt_state for the optimizer-liveness
+        metrics (opt/notfinite_*)."""
+        return {"policy": self.policy_train_state, "Vl": self.Vl_train_state}
+
     def act(self, graph, rnn_state, params: Optional[Params] = None) -> Tuple[Action, Array]:
         if params is None:
             params = self.params
@@ -298,6 +305,16 @@ class InforMARL(Algorithm):
         through double-width kernels (algo/stacked.py), then each network
         gets its own clipped gradient step. Losses, gradients, metrics, and
         optimizer behavior are exactly those of update_Vl + update_policy.
+
+        Non-finite-rail divergence (ADVICE r3): in the joint gradient a NaN
+        originating in ONE network's loss leaks into the other's gradient
+        through the materialized zero blocks of the block-diagonal kernels
+        (NaN*0=NaN in the matmul VJP), so apply_if_finite skips BOTH updates
+        where the separate path (stacked_update=False, the default) skips
+        only the affected network. Non-finite gradients are already a rail,
+        not a regime (the ppo_ratio clamp keeps healthy and collapsed
+        policies finite), so the joint skip is acceptable for this
+        explicitly experimental path.
         """
         chunked = take_chunks(batch, self.rnn_step)
         chunk_targets = take_chunks(targets, self.rnn_step)
@@ -445,8 +462,12 @@ class InforMARL(Algorithm):
         model_dir = os.path.join(save_dir, str(step))
         os.makedirs(model_dir, exist_ok=True)
         for stem, attr in self.CKPT_NETS:
+            # device_get batches the D2H copies (pickle would otherwise pull
+            # each leaf in a separate blocking round-trip — slow through the
+            # remote-TPU tunnel).
+            params = jax.device_get(getattr(self, attr).params)
             with open(os.path.join(model_dir, f"{stem}.pkl"), "wb") as f:
-                pickle.dump(getattr(self, attr).params, f)
+                pickle.dump(params, f)
 
     @staticmethod
     def _load_pkl(path: str, name: str):

@@ -29,6 +29,7 @@ from .pipeline import (
     fresh_chunk_carries,
     minibatch_plan,
     per_agent,
+    ppo_ratio,
     scan_minibatches,
     strip_env_states,
     take_chunks,
@@ -112,6 +113,14 @@ class InforMARLLagr(InforMARL):
             "policy": self.policy_train_state.params,
             "Vl": self.Vl_train_state.params,
             "Vh": self.Vh_train_state.params,
+        }
+
+    @property
+    def train_states(self) -> dict:
+        return {
+            "policy": self.policy_train_state,
+            "Vl": self.Vl_train_state,
+            "Vh": self.Vh_train_state,
         }
 
     def update(self, rollout: Rollout, step: int) -> dict:
@@ -235,7 +244,7 @@ class InforMARLLagr(InforMARL):
             ft.partial(self.scan_eval_action, actor_params=policy_train_state.params)
         )(rollout.graph, rollout.actions, carry0, entropy_keys)
 
-        ratio = jnp.exp(logp_new - rollout.log_pis)
+        ratio = ppo_ratio(logp_new, rollout.log_pis)
         slack = -(vh_steps * (1 - self.gamma) + ratio[..., None] * constraint_adv).mean(axis=(0, 1))
         ah_lagr = jax.nn.relu(ah_lagr - slack * self.lr_lagr)
         return ah_lagr, {"policy/lagr_mean": ah_lagr.mean()}

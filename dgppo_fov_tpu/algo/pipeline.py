@@ -213,10 +213,31 @@ def fit(
     return train_state, info | aux | (extra_metrics or {})
 
 
+#: Clamp on the PPO log-ratio before exponentiation. exp() overflows f32 at
+#: ~88.7; a policy whose std has collapsed to the bf16 noise floor produces
+#: |logp_new - logp_old| in the thousands (measured -1079 in the r3 --bf16
+#: run, logs/MPETarget/dgppo/seed0_819110834_QTBY), so one bad minibatch made
+#: every subsequent update non-finite and apply_if_finite froze the optimizer
+#: permanently. Clamping at +/-20 (ratio in [2e-9, 4.9e8]) is the identity in
+#: value AND gradient whenever |diff| <= 20 — healthy f32 runs stay below ~11
+#: even mid-destabilization, so reference parity (bitwise on the golden
+#: update tests) is unaffected — while keeping the loss finite so the
+#: entropy bonus can pull a collapsed policy back (the f32 run recovers from
+#: the same entropy dip at step ~2k; the unclamped bf16 run could not).
+PPO_LOG_RATIO_CLAMP = 20.0
+
+
+def ppo_ratio(logp_new: Array, logp_old: Array) -> Array:
+    """exp(logp_new - logp_old) with the finite-rail clamp above."""
+    return jnp.exp(
+        jnp.clip(logp_new - logp_old, -PPO_LOG_RATIO_CLAMP, PPO_LOG_RATIO_CLAMP)
+    )
+
+
 def ppo_clip_objective(logp_new: Array, logp_old: Array, adv: Array, clip_eps: float):
     """PPO clipped surrogate (reference informarl.py:417-433) plus its
     diagnostics. Returns (surrogate loss, metrics)."""
-    ratio = jnp.exp(logp_new - logp_old)
+    ratio = ppo_ratio(logp_new, logp_old)
     unclipped = -ratio * adv
     clipped = -jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv
     loss = jnp.maximum(unclipped, clipped).mean()

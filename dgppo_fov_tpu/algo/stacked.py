@@ -223,6 +223,20 @@ class StackedVlPolicy:
             D = self.out_dim if last else self.msg_dim
             lp = gnn_pi[f"BlockGraphTransformer_{i}"]
             lv = gnn_vl[f"BlockGraphTransformer_{i}"]
+            # Architecture guard (ADVICE r3): _head_stack_columns slices the
+            # fused kernel at offsets derived from (n_heads, D); a width/head
+            # change in PPOPolicy/ValueNet that isn't mirrored here would
+            # produce silently wrong math, not a shape error. Trace-time
+            # asserts make it loud.
+            expect_w = 3 * H * D + D  # q,k,v (H heads x D) + update (D)
+            for who, tree in (("policy", lp), ("Vl", lv)):
+                got = tree["qkvu"]["kernel"].shape[1]
+                assert got == expect_w, (
+                    f"stacked path built for n_heads={H}, dim={D} but the live "
+                    f"{who} GNN layer {i} qkvu kernel is {got} columns wide "
+                    f"(expected {expect_w}); update StackedVlPolicy or disable "
+                    "stacked_update"
+                )
             fused = _stack_dense(lp["qkvu"], lv["qkvu"], shared_input=(i == 0))
             kernel, bias = _head_stack_columns(fused["kernel"], fused["bias"], H, D)
             # Head-stacked column groups: q [0:2HD), k [2HD:4HD), v [4HD:6HD),
@@ -444,7 +458,10 @@ def build_stacked(algo, spec: GraphSpec) -> Optional[StackedVlPolicy]:
     """Construct the stacked evaluator for an InforMARL-family algorithm, or
     None when the configuration falls outside the stacked fast path (the
     separate-network update is used instead — same math, more kernels)."""
-    if not getattr(algo, "stacked_update", True):
+    # Fail CLOSED: an algorithm class that never plumbed the flag gets the
+    # default-off separate path, not the experimental stacked one
+    # (ADVICE r3: the old default-True silently opted unplumbed classes in).
+    if not getattr(algo, "stacked_update", False):
         return None
     if algo.use_lstm:
         return None  # GRU-only stacking; LSTM configs use the separate path

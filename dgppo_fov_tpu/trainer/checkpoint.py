@@ -13,34 +13,37 @@ import pickle
 from typing import Any, Dict
 
 import jax
-import numpy as np
-
-
-def _to_host(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
 
 
 def gather_full_state(algo, step: int) -> Dict[str, Any]:
     state = {
         "step": step,
-        "key": np.asarray(algo.key),
-        "policy_train_state": _to_host(
-            {"params": algo.policy_train_state.params, "opt_state": algo.policy_train_state.opt_state,
-             "step": algo.policy_train_state.step}
-        ),
-        "Vl_train_state": _to_host(
-            {"params": algo.Vl_train_state.params, "opt_state": algo.Vl_train_state.opt_state,
-             "step": algo.Vl_train_state.step}
-        ),
+        "key": algo.key,
+        "policy_train_state": {
+            "params": algo.policy_train_state.params,
+            "opt_state": algo.policy_train_state.opt_state,
+            "step": algo.policy_train_state.step,
+        },
+        "Vl_train_state": {
+            "params": algo.Vl_train_state.params,
+            "opt_state": algo.Vl_train_state.opt_state,
+            "step": algo.Vl_train_state.step,
+        },
     }
     if hasattr(algo, "Vh_train_state"):
-        state["Vh_train_state"] = _to_host(
-            {"params": algo.Vh_train_state.params, "opt_state": algo.Vh_train_state.opt_state,
-             "step": algo.Vh_train_state.step}
-        )
+        state["Vh_train_state"] = {
+            "params": algo.Vh_train_state.params,
+            "opt_state": algo.Vh_train_state.opt_state,
+            "step": algo.Vh_train_state.step,
+        }
     if hasattr(algo, "ah_lagr"):
-        state["ah_lagr"] = np.asarray(algo.ah_lagr)
-    return state
+        state["ah_lagr"] = algo.ah_lagr
+    # ONE batched transfer: jax.device_get starts every leaf's D2H copy
+    # asynchronously before blocking, so the whole state costs ~one tunnel
+    # round-trip. The old per-leaf np.asarray tree_map was ~6.5 s per save on
+    # the remote-TPU image (hundreds of serial round-trips) — 0.13 s/step of
+    # the r3 training wall time at save_interval=50.
+    return jax.device_get(state)
 
 
 def restore_full_state(algo, state: Dict[str, Any]) -> int:

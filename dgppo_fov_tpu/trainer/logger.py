@@ -50,6 +50,16 @@ class MetricsLogger:
     def log(self, metrics: dict, step: int):
         import math
 
+        # Batch any device arrays into one transfer before the per-value
+        # float() loop (each float(device_array) is a blocking round-trip on
+        # the remote-TPU image). No-op for plain floats/numpy scalars.
+        try:
+            import jax
+
+            metrics = jax.device_get(metrics)
+        except Exception:
+            pass
+
         clean = {}
         for k, v in metrics.items():
             try:

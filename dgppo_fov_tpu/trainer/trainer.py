@@ -24,6 +24,7 @@ from ..parallel.mesh import shard_batch
 from .data import Rollout
 from .logger import MetricsLogger
 from .rollout import test_rollout
+from .utils import params_delta_norm, snapshot_params
 
 
 class Trainer:
@@ -101,6 +102,29 @@ class Trainer:
 
         test_fn = jax.jit(lambda params, keys: jax.vmap(ft.partial(test_fn_single, params))(keys))
 
+        # All eval reductions in ONE jitted program returning scalars, pulled
+        # with ONE device_get: on this image the TPU sits behind a network
+        # tunnel, so every separate float(x) is a blocking round-trip —
+        # six of them cost more than the eval rollout itself (measured r3:
+        # 0.73 s/step wall vs 0.15 s device time; see COVERAGE.md).
+        @jax.jit
+        def eval_metrics(test_rollouts: Rollout) -> dict:
+            total_reward = test_rollouts.rewards.sum(axis=-1)
+            return {
+                "eval/reward": total_reward.mean(),
+                "eval/reward_min": total_reward.min(),
+                "eval/reward_max": total_reward.max(),
+                "eval/reward_final": test_rollouts.rewards[:, -1].mean(),
+                "eval/cost": jnp.maximum(test_rollouts.costs, 0.0)
+                .max(axis=-1)
+                .max(axis=-1)
+                .sum(axis=-1)
+                .mean(),
+                "eval/unsafe_frac": (
+                    test_rollouts.costs.max(axis=-1).max(axis=-2) >= 1e-6
+                ).mean(),
+            }
+
         test_key = jr.PRNGKey(self.seed)
         assert self.n_env_test <= 1_000
         test_keys = jr.split(test_key, 1_000)[: self.n_env_test]
@@ -122,28 +146,16 @@ class Trainer:
                 # All reductions in jnp BEFORE any host fetch: on a multi-host
                 # mesh the rollout arrays span non-addressable devices, so
                 # only fully-reduced (replicated) scalars may cross to numpy.
-                total_reward = test_rollouts.rewards.sum(axis=-1)
-                reward_min, reward_max = float(total_reward.min()), float(total_reward.max())
-                reward_mean = float(total_reward.mean())
-                reward_final = float(test_rollouts.rewards[:, -1].mean())
-                cost = float(
-                    jnp.maximum(test_rollouts.costs, 0.0).max(axis=-1).max(axis=-1).sum(axis=-1).mean()
-                )
-                unsafe_frac = float(
-                    (test_rollouts.costs.max(axis=-1).max(axis=-2) >= 1e-6).mean()
-                )
-                eval_info = {
-                    "eval/reward": reward_mean,
-                    "eval/reward_final": reward_final,
-                    "eval/cost": cost,
-                    "eval/unsafe_frac": unsafe_frac,
-                    "time/eval_s": time.time() - eval_t0,
-                }
+                em = jax.device_get(eval_metrics(test_rollouts))
+                reward_min = float(em.pop("eval/reward_min"))
+                reward_max = float(em.pop("eval/reward_max"))
+                eval_info = {k: float(v) for k, v in em.items()}
+                eval_info["time/eval_s"] = time.time() - eval_t0
                 elapsed = time.time() - start_time
                 print(
-                    f"step: {step:3}, time: {elapsed:5.0f}s, reward: {reward_mean:9.4f}, "
-                    f"min/max reward: {reward_min:7.2f}/{reward_max:7.2f}, cost: {cost:8.4f}, "
-                    f"unsafe_frac: {unsafe_frac:6.2f}",
+                    f"step: {step:3}, time: {elapsed:5.0f}s, reward: {eval_info['eval/reward']:9.4f}, "
+                    f"min/max reward: {reward_min:7.2f}/{reward_max:7.2f}, cost: {eval_info['eval/cost']:8.4f}, "
+                    f"unsafe_frac: {eval_info['eval/unsafe_frac']:6.2f}",
                     flush=True,
                 )
                 self.logger.log(eval_info, step=self.update_steps)
@@ -177,16 +189,35 @@ class Trainer:
             collect_s = time.time() - collect_t0
 
             update_t0 = time.time()
+            prev_params = snapshot_params(self.algo.params)
             update_info = self.algo.update(rollouts, step)
-            # Block before timing: without this, async dispatch makes
+
+            # Optimizer-liveness (no reference counterpart): a dead optimizer
+            # (apply_if_finite skipping every minibatch) shows as
+            # params_delta_norm == 0 / a climbing notfinite counter, instead
+            # of hours of frozen eval lines. Dispatched async here, fetched
+            # with the update metrics below.
+            liveness = {
+                "opt/params_delta_norm": params_delta_norm(prev_params, self.algo.params)
+            }
+            for name, ts in getattr(self.algo, "train_states", {}).items():
+                cnt = getattr(ts.opt_state, "notfinite_count", None)
+                if cnt is not None:
+                    liveness[f"opt/notfinite_{name}"] = cnt
+
+            # ONE batched blocking fetch for every per-step scalar (each
+            # separate float() is a tunnel round-trip on this image; ~25 of
+            # them were 0.4 s/step in r3). This also serves as the device
+            # sync for update_s — without it, async dispatch would make
             # update_s measure enqueue time, overstating updates/s.
-            jax.block_until_ready(jax.tree_util.tree_leaves(dict(update_info)))
+            fetched = jax.device_get(dict(update_info) | liveness)
+            update_info = {k: float(v) for k, v in fetched.items()}
             update_s = time.time() - update_t0
 
             if self.profile_dir is not None and step == profile_at:
                 jax.profiler.stop_trace()
 
-            update_info = dict(update_info) | {
+            update_info = update_info | {
                 "time/collect_s": collect_s,
                 "time/update_s": update_s,
                 "perf/env_steps_per_s_per_chip": env_steps_per_iter / max(collect_s, 1e-9) / n_chips,

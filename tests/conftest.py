@@ -57,9 +57,10 @@ if not os.environ.get("TEST_JAX_CACHE_DIR") and os.path.isdir(_default_cache):
         _recorded = None
     if _recorded is None or _recorded == _host_key():
         os.environ["TEST_JAX_CACHE_DIR"] = _default_cache
-        if _recorded is None:
-            with open(_marker, "w") as f:
-                f.write(_host_key())
+        # Do NOT write a missing HOST_KEY marker here: the committed cache
+        # dir is part of the working tree, and merely running the tests must
+        # not dirty it (ADVICE r3). A marker is written only when jax itself
+        # populates a FRESH cache dir (see _write_host_key_if_new below).
     else:
         import sys as _sys
 
@@ -69,7 +70,22 @@ if not os.environ.get("TEST_JAX_CACHE_DIR") and os.path.isdir(_default_cache):
             "will be cold. Set TEST_JAX_CACHE_DIR=<dir> to use a local cache.",
             file=_sys.stderr,
         )
+def _write_host_key_if_new(cache_dir: str) -> None:
+    """Stamp HOST_KEY only into a fresh/empty cache dir — never as a side
+    effect of running the suite against an existing (e.g. committed) cache."""
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        entries = [e for e in os.listdir(cache_dir) if e != "HOST_KEY"]
+        marker = os.path.join(cache_dir, "HOST_KEY")
+        if not entries and not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write(_host_key())
+    except OSError:
+        pass
+
+
 if os.environ.get("TEST_JAX_CACHE_DIR", "0") != "0":
+    _write_host_key_if_new(os.environ["TEST_JAX_CACHE_DIR"])
     os.environ["JAX_COMPILATION_CACHE_DIR"] = os.environ["TEST_JAX_CACHE_DIR"]
     os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
     os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"

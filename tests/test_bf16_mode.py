@@ -73,6 +73,46 @@ def test_bf16_mode_is_actually_active():
     assert np.abs(np.asarray(act32) - np.asarray(act16)).max() > 0.0
 
 
+def test_collapsed_sigma_update_stays_finite():
+    """Regression for the r3 --bf16 death spiral (VERDICT r3 #1): once the
+    policy std collapses to the bf16 noise floor, |logp_new - logp_old| runs
+    into the hundreds (measured -1079 in logs/MPETarget/dgppo/
+    seed0_819110834_QTBY) and exp() overflows — every later update was
+    non-finite and apply_if_finite froze the optimizer for 2,500 steps.
+    With the PPO_LOG_RATIO_CLAMP rail the same pathological log-ratios must
+    yield a finite loss and a live (applied) update."""
+    _, algo = _make("bfloat16")
+    rollout = algo.collect(algo.params, jr.split(jr.PRNGKey(1), 4))
+    # Reproduce the failure's rollout-side state: stored behavior log-probs
+    # far below anything the current policy re-computes (diff ~ +1000).
+    rollout = rollout._replace(log_pis=jnp.full_like(rollout.log_pis, -1000.0))
+    info = algo.update(rollout, step=0)
+    assert np.isfinite(float(info["policy/loss"]))
+    assert float(info["policy/has_nan"]) == 0.0
+    assert float(info["Vl/has_nan"]) == 0.0
+    # The optimizer actually applied the step (not skipped by apply_if_finite).
+    assert int(algo.policy_train_state.opt_state.notfinite_count) == 0
+
+
+def test_ppo_ratio_clamp_is_identity_in_range():
+    """The clamp must be bitwise-inert for every log-ratio a healthy run
+    produces (f32 runs stay within ~±11): value and gradient both identical
+    to the raw exp below the ±20 rail."""
+    from dgppo_fov_tpu.algo.pipeline import PPO_LOG_RATIO_CLAMP, ppo_ratio
+
+    logp_new = jnp.linspace(-19.0, 19.0, 41)
+    logp_old = jnp.zeros_like(logp_new)
+    np.testing.assert_array_equal(
+        np.asarray(ppo_ratio(logp_new, logp_old)), np.asarray(jnp.exp(logp_new))
+    )
+    g_clamped = jax.grad(lambda x: ppo_ratio(x, 0.0))(11.0)
+    g_raw = jax.grad(lambda x: jnp.exp(x - 0.0))(11.0)
+    np.testing.assert_array_equal(np.asarray(g_clamped), np.asarray(g_raw))
+    # And finite outside it.
+    assert np.isfinite(float(ppo_ratio(jnp.float32(2000.0), jnp.float32(-2000.0))))
+    assert PPO_LOG_RATIO_CLAMP == 20.0
+
+
 def test_gnn_layers_stay_bf16():
     """Regression: the GNN softmax accumulators were f32 literals, silently
     promoting every non-restricted layer's output (and everything after it)

@@ -19,10 +19,11 @@ from dgppo_fov_tpu.algo.stacked import StackedVlPolicy, build_stacked
 from dgppo_fov_tpu.env import make_env
 
 
-def _build(env_id, n_agents, num_obs, use_rnn=True, rnn_layers=1, stacked_update=True, **kw):
+def _build(env_id, n_agents, num_obs, use_rnn=True, rnn_layers=1, stacked_update=True,
+           algo="dgppo", **kw):
     env = make_env(env_id, num_agents=n_agents, num_obs=num_obs, max_step=8)
     algo = make_algo(
-        algo="dgppo", env=env, node_dim=env.node_dim, edge_dim=env.edge_dim,
+        algo=algo, env=env, node_dim=env.node_dim, edge_dim=env.edge_dim,
         state_dim=env.state_dim, action_dim=env.action_dim, n_agents=env.num_agents,
         batch_size=2 * 8, rnn_step=4, seed=0, use_rnn=use_rnn, rnn_layers=rnn_layers,
         train_steps=100, stacked_update=stacked_update, **kw,
@@ -81,13 +82,18 @@ def test_stacked_forward_no_rnn():
     np.testing.assert_allclose(np.asarray(out.value), np.asarray(value_sep), rtol=1e-5, atol=1e-6)
 
 
-def test_stacked_update_equals_separate_update():
-    """One full DGPPO update with stacking ON vs OFF from identical state:
-    every updated parameter leaf must agree (same rollout, same plans)."""
+@pytest.mark.parametrize("algo_name", ["dgppo", "informarl"])
+def test_stacked_update_equals_separate_update(algo_name):
+    """One full update with stacking ON vs OFF from identical state: every
+    updated parameter leaf must agree (same rollout, same plans). The
+    separate path is golden-tested leaf-by-leaf against the reference
+    (tests/test_reference_parity_update*.py), so this transitively pins
+    stacked-vs-reference parity in the suite (VERDICT r3 #4 — previously a
+    one-off run documented in algo/stacked.py's docstring)."""
     import numpy as onp
 
-    env, algo_on = _build("MPETarget", 3, 2)
-    _, algo_off = _build("MPETarget", 3, 2, stacked_update=False)  # the default
+    env, algo_on = _build("MPETarget", 3, 2, algo=algo_name)
+    _, algo_off = _build("MPETarget", 3, 2, algo=algo_name, stacked_update=False)  # the default
     assert algo_on._stacked is not None and algo_off._stacked is None
 
     keys = jr.split(jr.PRNGKey(3), 4)
@@ -101,7 +107,10 @@ def test_stacked_update_equals_separate_update():
     for k in ("Vl/loss", "policy/loss", "policy/grad_norm", "policy/clip_frac", "Vl/grad_norm"):
         np.testing.assert_allclose(float(info_on[k]), float(info_off[k]), rtol=1e-4, atol=1e-6, err_msg=k)
 
-    for name in ("policy_train_state", "Vl_train_state", "Vh_train_state"):
+    net_names = ("policy_train_state", "Vl_train_state") + (
+        ("Vh_train_state",) if algo_name != "informarl" else ()
+    )
+    for name in net_names:
         p_on = getattr(algo_on, name).params
         p_off = getattr(algo_off, name).params
         for (path, a), (_, b) in zip(

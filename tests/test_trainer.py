@@ -53,6 +53,14 @@ def test_trainer_short_loop(tmp_path):
                  "perf/env_steps_per_s_per_chip"]:
         assert name in keys, name
 
+    # Optimizer-liveness metrics (VERDICT r3 #6): a live finite update moves
+    # the params; apply_if_finite skip counters start at 0.
+    live = [r for r in records if "opt/params_delta_norm" in r]
+    assert live, "opt/params_delta_norm missing from metrics.jsonl"
+    assert live[0]["opt/params_delta_norm"] > 0.0
+    for net in ("policy", "Vl", "Vh"):
+        assert live[0][f"opt/notfinite_{net}"] == 0
+
     # Params-only models and full-state checkpoints exist.
     assert (tmp_path / "models" / "0" / "actor.pkl").exists()
     assert any((tmp_path / "ckpt").iterdir())
