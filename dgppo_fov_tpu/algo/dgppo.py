@@ -170,6 +170,7 @@ class DGPPO(InforMARLLagr):
         return jnp.concatenate([vh_steps, vh_final[:, None]], axis=1)
 
     def update(self, rollout: Rollout, step: int) -> dict:
+        self._assert_config_frozen()
         key, self.key = jr.split(self.key)
 
         # Deterministic rollout for Vh fitting (dgppo.py:139-141).

@@ -36,6 +36,7 @@ class HCBFCRPO(DGPPO):
         return self._env.get_cost(graph)
 
     def update(self, rollout: Rollout, step: int) -> dict:
+        self._assert_config_frozen()
         _, self.key = jr.split(self.key)
         rollout = strip_env_states(rollout)
 

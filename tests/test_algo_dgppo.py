@@ -27,6 +27,19 @@ def _make(algo_name, n_env=4, max_step=16, num_obs=0):
     return env, algo
 
 
+def test_config_mutation_after_first_update_is_loud():
+    """update_inner reads hyperparameters off static `self` at trace time, so
+    a post-first-update mutation would be silently ignored by the cached
+    executable. The freeze guard must turn that into an error (no compile
+    needed to test: the guard runs before the jit call)."""
+    _, algo = _make("dgppo")
+    algo._assert_config_frozen()  # first call: freezes
+    algo._assert_config_frozen()  # unchanged: fine
+    algo.clip_eps = 0.5
+    with pytest.raises(RuntimeError, match="hyperparameters changed"):
+        algo._assert_config_frozen()
+
+
 @pytest.mark.parametrize("algo_name", ["dgppo", "informarl", "informarl_lagr", "hcbfcrpo"])
 def test_collect_and_update(algo_name):
     np.random.seed(0)
