@@ -43,8 +43,13 @@ Env vars:
   BENCH_UPDATE_INPUT  zeros | collect  (default zeros; collect reproduces
                   the round-2 behavior of timing the update on a really
                   collected rollout — timing-identical, much more compile)
-  BENCH_DTYPE     compute dtype, e.g. bf16 (default f32; bf16 measures
-                  1.6x on the update, see COVERAGE.md)
+  BENCH_DTYPE     compute dtype: bf16 | f32 (default bf16 — validated
+                  end-to-end at 20k training steps, see PARITY.md
+                  "Revalidation 1"; ~1.6x faster updates than f32. The
+                  vs_baseline denominator stays the f32 CPU baseline — the
+                  reference's own training precision — so the ratio reads
+                  "our best validated mode vs the reference's mode".
+                  Set BENCH_DTYPE=f32 for the bit-parity configuration.)
   BENCH_STACKED   1|0: stacked Vl+policy update (default 0 — measured
                   1.03x the separate pair, see algo/stacked.py; A/B knob)
 """
@@ -217,7 +222,10 @@ def build(env_id: str, n_env: int, max_step: int, n_agents: int):
         rnn_step=16,
         seed=0,
         train_steps=100,
-        compute_dtype=os.environ.get("BENCH_DTYPE") or None,
+        # Default bf16: the validated TPU mode (PARITY.md "Revalidation 1" —
+        # 20k-step MPETarget run, 0 non-finite updates, safe_rate 100%).
+        # BENCH_DTYPE=f32 selects the reference-bit-parity configuration.
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bf16") or None,
         stacked_update=os.environ.get("BENCH_STACKED", "0") != "0",
     )
     return env, algo

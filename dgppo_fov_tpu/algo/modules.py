@@ -30,7 +30,7 @@ from ..utils.typing import Action, Array, Params, PRNGKey
 
 def _resolve_dtype(compute_dtype):
     """None/'float32' -> None (no casting); 'bfloat16'/'bf16' -> jnp.bfloat16."""
-    if compute_dtype in (None, "float32", "fp32", jnp.float32):
+    if compute_dtype in (None, "float32", "fp32", "f32", jnp.float32):
         return None
     if compute_dtype in ("bfloat16", "bf16", jnp.bfloat16):
         return jnp.bfloat16
