@@ -7,8 +7,12 @@ BASELINE.json targets: >=50x CPU env-steps/s on one chip at 2048 envs.
 Engineered to survive the axon platform's erratic remote-compile latency
 (measured 40-330 s for the same program; round-1 bench timed out at 9m+):
 
- - persistent compilation cache at .jax_cache/ (committed pre-warmed for the
-   default workload, so a fresh driver run skips every large compile);
+ - persistent compilation cache at .jax_cache/ for CPU-backend runs (created
+   fresh + HOST_KEY-stamped on first use; round 3's committed pre-warmed set
+   was removed in round 4 — measurement showed axon TPU programs are compiled
+   server-side and never read or write the local cache, and CPU entries are
+   only trustworthy on the machine that wrote them. Repopulate with ONE
+   command: `BENCH_PLATFORM=cpu python bench.py`);
  - phase-stamped heartbeats on stderr every few seconds, so a timeout tail
    shows exactly where the run was;
  - SIGTERM/SIGINT/SIGALRM handler that emits the JSON line with whatever
@@ -52,6 +56,11 @@ Env vars:
                   Set BENCH_DTYPE=f32 for the bit-parity configuration.)
   BENCH_STACKED   1|0: stacked Vl+policy update (default 0 — measured
                   1.03x the separate pair, see algo/stacked.py; A/B knob)
+  BENCH_LIDAR_ENV / BENCH_VMAS_ENV  extra breadth rows timed in 'both' mode
+                  with leftover deadline budget (defaults LidarSpread and
+                  VMASWheel at its native T=64; "0" disables a row)
+  BENCH_LIDAR_MIN_BUDGET  min leftover seconds to attempt an extra row
+                  (default 100)
 """
 import json
 import os
@@ -73,9 +82,11 @@ import jax
 if os.environ.get("BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-# Persistent compilation cache: round-1's driver bench timed out entirely in
-# remote compiles (algo init alone was 114 s wall / 9.5 s CPU at TINY shapes).
-# With the committed pre-warmed cache the same init is ~10 s.
+# Persistent compilation cache (CPU-backend runs only — axon TPU programs
+# compile server-side and never touch this dir, measured 2026-08-17). The
+# dir is created and HOST_KEY-stamped on first CPU use; a populated dir from
+# a different CPU/jax (or unstamped, e.g. round 3's committed set) is
+# refused and a throwaway dir used instead.
 _CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
 
 
@@ -91,7 +102,17 @@ def _cache_host_ok(cache_dir: str) -> bool:
     try:
         recorded = open(marker).read().strip()
     except OSError:
-        return True  # unstamped dir: jax's own keying is the only guard
+        # Unstamped NON-empty dir: fail CLOSED. jax's own cache keying does
+        # NOT cover the CPU microarch, and loading an AOT entry compiled for
+        # different CPU features risks SIGILL (observed as cpu_aot_loader
+        # errors when round 3's unstamped cache was read on a new host).
+        if not os.path.isdir(cache_dir) or not os.listdir(cache_dir):
+            return True  # empty/new dir: nothing stale to load; stamped below
+        return False
+    return recorded == _host_key()
+
+
+def _host_key() -> str:
     import hashlib
 
     flags = ""
@@ -103,7 +124,7 @@ def _cache_host_ok(cache_dir: str) -> bool:
                     break
     except OSError:
         pass
-    return recorded == hashlib.sha256(f"{flags}|jax={jax.__version__}".encode()).hexdigest()[:16]
+    return hashlib.sha256(f"{flags}|jax={jax.__version__}".encode()).hexdigest()[:16]
 
 
 if not _cache_host_ok(_CACHE_DIR):
@@ -111,10 +132,22 @@ if not _cache_host_ok(_CACHE_DIR):
 
     print(
         f"[bench] {_CACHE_DIR} was populated on a different CPU/jax (HOST_KEY "
-        "mismatch) — using a throwaway cache dir for this CPU run.",
+        "mismatch or unstamped) — using a throwaway cache dir for this CPU run.",
         file=sys.stderr,
     )
     _CACHE_DIR = tempfile.mkdtemp(prefix="bench_jax_cache_")
+if os.environ.get("BENCH_PLATFORM") == "cpu":
+    # Stamp fresh/empty CPU cache dirs so future runs can trust them (never
+    # stamp a pre-existing populated dir — mirrors tests/conftest.py).
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        if not [e for e in os.listdir(_CACHE_DIR) if e != "HOST_KEY"] and not os.path.exists(
+            os.path.join(_CACHE_DIR, "HOST_KEY")
+        ):
+            with open(os.path.join(_CACHE_DIR, "HOST_KEY"), "w") as f:
+                f.write(_host_key())
+    except OSError:
+        pass
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -388,21 +421,27 @@ def main():
         _finalize_phase()
         run_rollout(env, algo, env_id, n_env, n_agents, iters)
         _finalize_phase()
-        # Near-floor breadth row (VERDICT r3 #3): with remaining deadline
-        # budget, time ONE lidar-family rollout (LidarSpread is the README
-        # row closest to the 50x floor) as an additional held line. Partial
-        # emission (signal handler) still protects the two primary metrics
-        # if this phase outlives the deadline.
+        # Near-floor breadth rows (VERDICT r3 #3): with remaining deadline
+        # budget, time additional family rollouts (LidarSpread is the README
+        # row closest to the 50x floor; VMASWheel covers the contact-physics
+        # family, at its own T=64 horizon like the README/CPU-baseline rows)
+        # as extra held lines. Partial emission (signal handler) still
+        # protects the two primary metrics if a phase outlives the deadline.
         lidar_env_id = os.environ.get("BENCH_LIDAR_ENV", "LidarSpread")
-        lidar_min_budget = float(os.environ.get("BENCH_LIDAR_MIN_BUDGET", 100))
-        budget_left = deadline - (time.time() - _T0)
-        if lidar_env_id != "0" and budget_left > lidar_min_budget:
-            _set_phase(f"lidar row: build {lidar_env_id} ({budget_left:.0f}s budget left)")
-            lenv, lalgo = build(lidar_env_id, n_env, max_step, n_agents)
-            run_rollout(lenv, lalgo, lidar_env_id, n_env, n_agents, min(2, iters))
+        vmas_env_id = os.environ.get("BENCH_VMAS_ENV", "VMASWheel")
+        extra_min_budget = float(os.environ.get("BENCH_LIDAR_MIN_BUDGET", 100))
+        extra_rows = [(lidar_env_id, "lidar", max_step), (vmas_env_id, "vmas", 64)]
+        for row_env_id, family, row_max_step in extra_rows:
+            budget_left = deadline - (time.time() - _T0)
+            if row_env_id == "0":
+                continue
+            if budget_left <= extra_min_budget:
+                _hb(f"skipping {family} row: only {budget_left:.0f}s of deadline left")
+                continue
+            _set_phase(f"{family} row: build {row_env_id} ({budget_left:.0f}s budget left)")
+            renv, ralgo = build(row_env_id, n_env, row_max_step, n_agents)
+            run_rollout(renv, ralgo, row_env_id, n_env, n_agents, min(2, iters))
             _finalize_phase()
-        elif lidar_env_id != "0":
-            _hb(f"skipping lidar row: only {budget_left:.0f}s of deadline left")
 
     signal.alarm(0)
     _emit()
