@@ -88,6 +88,7 @@ class DGPPO(InforMARLLagr):
         cbf_weight: float = 1.0,
         train_steps: int = 100_000,
         cbf_schedule: bool = True,
+        std_dev_min: float = 1e-5,
         compute_dtype=None,
         stacked_update: bool = False,
         **kwargs,
@@ -96,7 +97,7 @@ class DGPPO(InforMARLLagr):
             env, node_dim, edge_dim, state_dim, action_dim, n_agents, actor_gnn_layers, Vl_gnn_layers,
             Vh_gnn_layers, gamma, lr_actor, lr_Vl, lr_Vh, batch_size, epoch_ppo, clip_eps, gae_lambda,
             coef_ent, max_grad_norm, seed, use_rnn, rnn_layers, rnn_step, use_lstm,
-            compute_dtype=compute_dtype, stacked_update=stacked_update,
+            std_dev_min=std_dev_min, compute_dtype=compute_dtype, stacked_update=stacked_update,
         )
 
         self._store_hyperparameters(locals(), ("alpha", "cbf_eps", "cbf_weight", "cbf_schedule"))

@@ -59,7 +59,7 @@ class InforMARL(Algorithm):
         "cost_weight", "actor_gnn_layers", "Vl_gnn_layers", "gamma",
         "lr_actor", "lr_Vl", "batch_size", "epoch_ppo", "clip_eps",
         "gae_lambda", "coef_ent", "max_grad_norm", "seed", "use_rnn",
-        "rnn_layers", "rnn_step", "use_lstm", "cost_schedule",
+        "rnn_layers", "rnn_step", "use_lstm", "cost_schedule", "std_dev_min",
     )
 
     def __init__(
@@ -88,6 +88,7 @@ class InforMARL(Algorithm):
         rnn_step: int = 16,
         use_lstm: bool = False,
         cost_schedule: bool = False,
+        std_dev_min: float = 1e-5,
         train_steps: int = 100_000,
         compute_dtype=None,
         stacked_update: bool = False,
@@ -113,6 +114,7 @@ class InforMARL(Algorithm):
             gnn_out_dim=64,
             use_lstm=use_lstm,
             compute_dtype=compute_dtype,
+            std_dev_min=std_dev_min,
         )
 
         key = jr.PRNGKey(seed)

@@ -70,6 +70,7 @@ class InforMARLLagr(InforMARL):
         use_lstm: bool = False,
         lagr_init: float = 0.78,
         lr_lagr: float = 1e-7,
+        std_dev_min: float = 1e-5,
         compute_dtype=None,
         stacked_update: bool = False,
         **kwargs,
@@ -78,7 +79,7 @@ class InforMARLLagr(InforMARL):
             env, node_dim, edge_dim, state_dim, action_dim, n_agents, 0.0, actor_gnn_layers, Vl_gnn_layers,
             gamma, lr_actor, lr_Vl, batch_size, epoch_ppo, clip_eps, gae_lambda, coef_ent, max_grad_norm,
             seed, use_rnn, rnn_layers, rnn_step, use_lstm,
-            compute_dtype=compute_dtype, stacked_update=stacked_update,
+            std_dev_min=std_dev_min, compute_dtype=compute_dtype, stacked_update=stacked_update,
         )
 
         self._store_hyperparameters(locals(), ("lr_Vh", "Vh_gnn_layers", "lagr_init", "lr_lagr"))

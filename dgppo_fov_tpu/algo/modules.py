@@ -89,6 +89,16 @@ class TanhNormal(nn.Module):
     std = softplus(x + softplus_inv(std_dev_init)) + std_dev_min
     (reference policy.py:47-74). Structured as trunk / recur / dist_params
     stages (see PolicyNet) with the compact-era param names preserved.
+
+    std_dev_min: the reference's 1e-5 floor creates a vanishing-entropy-
+    gradient basin (dH/dx ~ sigmoid(x)/std -> e^x/1e-5 -> 0 once x < ~-15;
+    PARITY.md "sigma-floor" analysis) that two observed runs collapsed into
+    terminally. Raising it (e.g. 1e-2 via --std-dev-min) bounds the
+    pathology rather than the gradient: min entropy -3.2/dim instead of
+    -10.6/dim, and |dlogpi/dmu| <= |z|/floor — 1e6 less log-prob curvature,
+    the term behind the collapsed runs' 1e5-4e6 grad norms
+    (tests/test_std_floor.py). The default stays at the reference value so
+    parity configs are bit-identical.
     """
 
     base_cls: Callable[[], nn.Module]
@@ -176,6 +186,7 @@ class PPOPolicy(RecurrentCarries):
         gnn_out_dim: int = 16,
         use_lstm: bool = False,
         compute_dtype=None,
+        std_dev_min: float = 1e-5,
     ):
         self.node_dim = node_dim
         self.edge_dim = edge_dim
@@ -185,6 +196,7 @@ class PPOPolicy(RecurrentCarries):
         self.use_rnn = use_rnn
         self.use_lstm = use_lstm
         self.rnn_layers = rnn_layers
+        self.std_dev_min = std_dev_min
         self.compute_dtype = _resolve_dtype(compute_dtype)
 
         gnn = ft.partial(
@@ -200,7 +212,7 @@ class PPOPolicy(RecurrentCarries):
         else:
             self.rnn_base = None
             base = ft.partial(PolicyNet, gnn_cls=gnn, head_cls=head)
-        self.dist = TanhNormal(base_cls=base, nu=action_dim)
+        self.dist = TanhNormal(base_cls=base, nu=action_dim, std_dev_min=std_dev_min)
 
     def init_rnn_state(self, key: PRNGKey) -> Array:
         """(n_layers, n_agents, n_carries, hid)."""

@@ -476,4 +476,5 @@ def build_stacked(algo, spec: GraphSpec) -> Optional[StackedVlPolicy]:
         use_rnn=algo.use_rnn,
         rnn_layers=algo.rnn_layers,
         compute_dtype=algo.compute_dtype,
+        std_dev_min=algo.std_dev_min,
     )

@@ -168,6 +168,7 @@ def test(args):
         use_rnn=cfg.get("use_rnn", True),
         rnn_layers=cfg.get("rnn_layers", 1),
         use_lstm=cfg.get("use_lstm", False),
+        std_dev_min=cfg.get("std_dev_min", 1e-5),
     )
     _restore(algo, args, os.path.join(run_dir, "models"), step)
 

@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use-lstm", action="store_true", default=False)
     parser.add_argument("--coef-ent", type=float, default=1e-2)
     parser.add_argument("--rnn-step", type=int, default=16)
+    parser.add_argument("--std-dev-min", type=float, default=1e-5,
+                        help="Policy std floor (reference: 1e-5). Raising it (e.g. 1e-2) bounds "
+                             "the sigma-floor collapse basin two runs pinned into — min entropy "
+                             "-3.2/dim instead of -10.6/dim, 1e6 less log-prob curvature (PARITY.md "
+                             "sigma-floor analysis); default keeps reference parity.")
     # defaults
     parser.add_argument("--n-env-train", type=int, default=128)
     parser.add_argument("--batch-size", type=int, default=16384)
@@ -167,6 +172,7 @@ def train(args):
         use_lstm=args.use_lstm,
         coef_ent=args.coef_ent,
         rnn_step=args.rnn_step,
+        std_dev_min=args.std_dev_min,
         gamma=0.99,
         clip_eps=args.clip_eps,
         lagr_init=args.lagr_init,
