@@ -24,7 +24,7 @@ from ..parallel.mesh import shard_batch
 from .data import Rollout
 from .logger import MetricsLogger
 from .rollout import test_rollout
-from .utils import params_delta_norm, snapshot_params
+from .utils import EntropyCollapseMonitor, params_delta_norm, snapshot_params
 
 
 class Trainer:
@@ -132,6 +132,7 @@ class Trainer:
 
         # Per-chip throughput: devices actually used, not all visible ones.
         n_chips = self.mesh.devices.size if self.mesh is not None else 1
+        collapse_monitor = EntropyCollapseMonitor(self.algo.action_dim)
         env_steps_per_iter = self.n_env_train * self.env.max_episode_steps
 
         from tqdm import tqdm
@@ -223,6 +224,11 @@ class Trainer:
                 "perf/env_steps_per_s_per_chip": env_steps_per_iter / max(collect_s, 1e-9) / n_chips,
                 "perf/updates_per_s": 1.0 / max(update_s, 1e-9),
             }
+            if "policy/entropy" in update_info:
+                warning = collapse_monitor.check(update_info["policy/entropy"])
+                if warning is not None:
+                    print(f"WARNING step {step}: {warning}", flush=True)
+
             self.logger.log(update_info, step=self.update_steps)
             self.update_steps += 1
 

@@ -49,3 +49,45 @@ def snapshot_params(params):
     (donation invalidates the INPUT buffers even if Python still references
     them — a plain `prev = algo.params` would die at the delta-norm read)."""
     return jtu.tree_map(jnp.copy, params)
+
+
+class EntropyCollapseMonitor:
+    """Escalating one-shot warnings for sigma-floor policy collapse.
+
+    Thresholds are per action dimension (the logged policy/entropy is the
+    per-agent sum over dims): -6/dim means sigma ~2e-4 — deep in the
+    collapse; -9.5/dim means pinned at the reference 1e-5 floor, the
+    terminal basin two 20k-step runs never escaped (PARITY.md "sigma-floor"
+    analysis). Each level fires once per run so a long collapse does not
+    spam the log; recovery re-arms the lower level.
+    """
+
+    DEEP_PER_DIM = -6.0
+    TERMINAL_PER_DIM = -9.5
+
+    def __init__(self, action_dim: int):
+        self.action_dim = max(int(action_dim), 1)
+        self._warned_deep = False
+        self._warned_terminal = False
+
+    def check(self, entropy: float) -> str | None:
+        per_dim = entropy / self.action_dim
+        if per_dim < self.TERMINAL_PER_DIM and not self._warned_terminal:
+            self._warned_terminal = True
+            return (
+                f"policy entropy {entropy:.1f} ({per_dim:.1f}/dim) is pinned at the "
+                "sigma floor — the terminal collapse basin (PARITY.md sigma-floor "
+                "analysis). The entropy bonus cannot recover from here at the "
+                "reference std floor; consider restarting with --std-dev-min 1e-2 "
+                "or a different seed."
+            )
+        if per_dim < self.DEEP_PER_DIM and not self._warned_deep:
+            self._warned_deep = True
+            return (
+                f"policy entropy {entropy:.1f} ({per_dim:.1f}/dim) — deep entropy "
+                "collapse; if it keeps falling the run will pin at the sigma floor "
+                "(see --std-dev-min)."
+            )
+        if per_dim >= self.DEEP_PER_DIM:
+            self._warned_deep = False  # recovered; re-arm the early warning
+        return None

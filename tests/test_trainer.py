@@ -220,3 +220,18 @@ def test_chunk_vmap_matches_plain_vmap():
     chunked = chunk_vmap(f, 4)(x)  # 11 not divisible by 4
     np.testing.assert_array_equal(np.asarray(plain["y"]), np.asarray(chunked["y"]))
     np.testing.assert_array_equal(np.asarray(plain["s"]), np.asarray(chunked["s"]))
+
+
+def test_entropy_collapse_monitor_escalates_once_and_rearms():
+    from dgppo_fov_tpu.trainer.utils import EntropyCollapseMonitor
+
+    m = EntropyCollapseMonitor(action_dim=2)
+    assert m.check(1.0) is None              # healthy
+    deep = m.check(-13.0)                    # -6.5/dim: deep warning
+    assert deep is not None and "std-dev-min" in deep
+    assert m.check(-14.0) is None            # one-shot: no spam
+    terminal = m.check(-22.0)                # -11/dim: terminal warning
+    assert terminal is not None and "terminal" in terminal
+    assert m.check(-22.0) is None            # one-shot
+    assert m.check(0.5) is None              # recovery re-arms deep...
+    assert m.check(-13.0) is not None        # ...so a second dip warns again
