@@ -235,3 +235,55 @@ def test_entropy_collapse_monitor_escalates_once_and_rearms():
     assert m.check(-22.0) is None            # one-shot
     assert m.check(0.5) is None              # recovery re-arms deep...
     assert m.check(-13.0) is not None        # ...so a second dip warns again
+
+
+def test_checkpoint_reroll_restores_state_but_not_collect_stream(tmp_path):
+    """The rescue workflow PARITY.md documents for collapsed runs: resume a
+    full checkpoint under a DIFFERENT CLI seed. Params/optimizer/algo-key and
+    the step counter must restore bit-identically (they come from the
+    checkpoint), while the trainer's step-keyed collect stream must change
+    (it derives from the CLI seed, divergence #8) — a re-roll of the
+    rollout dice from the same model state."""
+    import jax.random as jr
+    import jax.tree_util as jtu
+
+    from dgppo_fov_tpu.trainer.checkpoint import load_checkpoint, save_checkpoint
+
+    def build_algo():
+        env = make_env("MPETarget", num_agents=3, num_obs=0, max_step=8)
+        return env, make_algo(
+            algo="dgppo", env=env, node_dim=env.node_dim, edge_dim=env.edge_dim,
+            state_dim=env.state_dim, action_dim=env.action_dim, n_agents=3,
+            batch_size=16, rnn_step=4, seed=0, train_steps=4,
+        )
+
+    env, src = build_algo()
+    # Perturb source state so the restore is distinguishable from fresh init.
+    keys = jr.split(jr.PRNGKey(7), 4)
+    rollout = src.collect(src.params, keys)
+    np.random.seed(0)
+    src.update(rollout, step=0)
+    save_checkpoint(src, str(tmp_path), step=3)
+
+    _, a = build_algo()
+    _, b = build_algo()
+    assert load_checkpoint(a, str(tmp_path), 3) == 3
+    assert load_checkpoint(b, str(tmp_path), 3) == 3
+
+    # Restored state is bit-identical across the two resumes...
+    jtu.tree_map(np.testing.assert_array_equal, a.params, b.params)
+    jtu.tree_map(
+        np.testing.assert_array_equal,
+        jax.device_get(a.policy_train_state.opt_state),
+        jax.device_get(b.policy_train_state.opt_state),
+    )
+    np.testing.assert_array_equal(np.asarray(a.key), np.asarray(b.key))
+    # ...and matches the source it was saved from.
+    jtu.tree_map(np.testing.assert_array_equal, a.params, src.params)
+
+    # But the TRAINER collect stream is CLI-seed-keyed, not checkpoint-keyed:
+    # different seeds give different step-5000 collect keys over identical
+    # restored state.
+    k_seed0 = jr.split(jr.fold_in(jr.fold_in(jr.PRNGKey(0), 0x636F6C), 5000), 4)
+    k_seed42 = jr.split(jr.fold_in(jr.fold_in(jr.PRNGKey(42), 0x636F6C), 5000), 4)
+    assert not np.array_equal(np.asarray(k_seed0), np.asarray(k_seed42))
