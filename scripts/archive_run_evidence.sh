@@ -12,7 +12,14 @@ set -euo pipefail
 run_dir=$1
 shift || true
 step=${1:-}
-if [[ -n "${step:-}" && -d "$run_dir/models/$step" ]]; then shift; else
+if [[ -n "${step:-}" && -d "$run_dir/models/$step" ]]; then
+  shift
+elif [[ "${step:-}" =~ ^[0-9]+$ ]]; then
+  # Looks like a step but models/<step> is missing: a typo would otherwise
+  # fall through to the extra-files loop and die on an unrelated-path error.
+  echo "error: no such checkpoint $run_dir/models/$step" >&2
+  exit 1
+else
   step=$(ls "$run_dir/models" 2>/dev/null | sort -n | tail -1 || true)
 fi
 git add -f "$run_dir/config.yaml" "$run_dir/metrics.jsonl"
