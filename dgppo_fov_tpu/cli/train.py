@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Write a jax.profiler trace of one train iteration here.")
     parser.add_argument("--load-full", type=str, default=None,
                         help="Full-state checkpoint dir (ckpt/) for a true resume.")
+    parser.add_argument("--ckpt-keep-last", type=int, default=5,
+                        help="Full-state checkpoint retention: keep the newest N "
+                             "ckpt/full_* (0 disables pruning). models/<step> "
+                             "params pickles are never pruned.")
+    parser.add_argument("--ckpt-keep-every", type=int, default=1000,
+                        help="Also keep every ckpt/full_<step> with step %% N == 0 "
+                             "(long-horizon re-roll anchors).")
     return parser
 
 
@@ -215,6 +222,8 @@ def train(args):
         "eval_interval": args.eval_interval,
         "eval_epi": args.eval_epi,
         "save_interval": args.save_interval,
+        "ckpt_keep_last": args.ckpt_keep_last,
+        "ckpt_keep_every": args.ckpt_keep_every,
     }
 
     mesh = make_mesh() if args.mesh else None

@@ -96,9 +96,71 @@ def save_checkpoint(algo, ckpt_dir: str, step: int) -> str:
     return path + ".pkl"
 
 
+def list_checkpoints(ckpt_dir: str):
+    """Sorted steps of the full-state checkpoints present in ckpt_dir
+    (both orbax dirs and pickle fallbacks)."""
+    steps = set()
+    try:
+        entries = os.listdir(ckpt_dir)
+    except OSError:
+        return []
+    for name in entries:
+        if not name.startswith("full_"):
+            continue
+        stem = name[len("full_"):]
+        if stem.endswith(".pkl"):
+            stem = stem[: -len(".pkl")]
+        if stem.isdigit():
+            steps.add(int(stem))
+    return sorted(steps)
+
+
+def prune_checkpoints(ckpt_dir: str, keep_last: int = 5, keep_every: int = 1000) -> int:
+    """Retention policy for full-state checkpoints (VERDICT r4 #5).
+
+    The reference saves params-only pickles every save_interval and never
+    prunes (/root/reference/dgppo/algo/informarl_lagr.py:311-317); full-state
+    Orbax checkpoints are ~10x heavier, so an unpruned 200k-step run would
+    leave 4,000 dirs (the r4 rescue run left 689 at 50k). Keeps:
+      - the newest `keep_last` checkpoints (resume safety margin), and
+      - every checkpoint whose step % keep_every == 0 (long-horizon re-roll
+        anchors; the params-only models/<step> pickles keep their own full
+        cadence untouched).
+    Returns the number of checkpoints removed.
+    """
+    import shutil
+
+    steps = list_checkpoints(ckpt_dir)
+    if keep_last <= 0:  # retention disabled
+        return 0
+    keep = set(steps[-keep_last:])
+    keep.update(s for s in steps if keep_every > 0 and s % keep_every == 0)
+    removed = 0
+    for s in steps:
+        if s in keep:
+            continue
+        path = os.path.join(ckpt_dir, f"full_{s}")
+        try:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif os.path.exists(path + ".pkl"):
+                os.remove(path + ".pkl")
+            removed += 1
+        except OSError:
+            pass  # a failed prune must never kill training
+    return removed
+
+
 def load_checkpoint(algo, ckpt_dir: str, step: int) -> int:
     """Restore a full-state checkpoint; returns the training step."""
     path = os.path.join(ckpt_dir, f"full_{step}")
+    if not os.path.exists(path) and not os.path.exists(path + ".pkl"):
+        avail = list_checkpoints(ckpt_dir)
+        raise FileNotFoundError(
+            f"no full-state checkpoint for step {step} in {ckpt_dir} "
+            f"(it may have been pruned by the retention policy; "
+            f"available steps: {avail if avail else 'none'})"
+        )
     if os.path.exists(path + ".pkl"):
         with open(path + ".pkl", "rb") as f:
             state = pickle.load(f)

@@ -80,6 +80,10 @@ class Trainer:
         self.eval_interval = params.get("eval_interval", 1)
         self.eval_epi = params.get("eval_epi", 1)
         self.save_interval = params.get("save_interval", 1)
+        # Full-checkpoint retention (VERDICT r4 #5): keep the newest N plus
+        # every K-th step; params-only models/<step> pickles are never pruned.
+        self.ckpt_keep_last = params.get("ckpt_keep_last", 5)
+        self.ckpt_keep_every = params.get("ckpt_keep_every", 1000)
 
         self.update_steps = 0
         self.key = jr.PRNGKey(seed)
@@ -164,9 +168,15 @@ class Trainer:
             if self.save_log and step % self.save_interval == 0:
                 self.algo.save(self.model_dir, step)
                 if self.full_checkpoint:
-                    from .checkpoint import save_checkpoint
+                    from .checkpoint import prune_checkpoints, save_checkpoint
 
-                    save_checkpoint(self.algo, os.path.join(self.log_dir, "ckpt"), step)
+                    ckpt_dir = os.path.join(self.log_dir, "ckpt")
+                    save_checkpoint(self.algo, ckpt_dir, step)
+                    prune_checkpoints(
+                        ckpt_dir,
+                        keep_last=self.ckpt_keep_last,
+                        keep_every=self.ckpt_keep_every,
+                    )
 
             # jax.profiler trace of one train iteration (SURVEY.md §5:
             # tracing/profiling — absent in the reference). Offset from

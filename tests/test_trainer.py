@@ -146,6 +146,79 @@ def test_full_checkpoint_roundtrip_restores_structure(tmp_path):
     assert np.isfinite(float(info["policy/loss"]))
 
 
+def test_checkpoint_retention_policy(tmp_path):
+    """prune_checkpoints keeps the newest N plus every K-th step and removes
+    the rest; load_checkpoint of a pruned step fails with a clear message
+    naming the surviving steps (VERDICT r4 #5: the unpruned rescue run left
+    689 full_* dirs; reference never prunes but saves params-only pickles,
+    /root/reference/dgppo/algo/informarl_lagr.py:311-317)."""
+    from dgppo_fov_tpu.trainer.checkpoint import (
+        list_checkpoints,
+        load_checkpoint,
+        prune_checkpoints,
+    )
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    # Mix of orbax-style dirs and pickle fallbacks, like a real run dir.
+    steps = list(range(50, 1001, 50))  # 50, 100, ..., 1000
+    for s in steps:
+        if s % 100 == 0:
+            d = ckpt_dir / f"full_{s}"
+            d.mkdir()
+            (d / "manifest.ocdbt").write_text("x")
+        else:
+            (ckpt_dir / f"full_{s}.pkl").write_bytes(b"x")
+    assert list_checkpoints(str(ckpt_dir)) == steps
+
+    removed = prune_checkpoints(str(ckpt_dir), keep_last=3, keep_every=500)
+    survivors = list_checkpoints(str(ckpt_dir))
+    assert survivors == [500, 900, 950, 1000]  # every-500th + newest 3
+    assert removed == len(steps) - len(survivors)
+    # Idempotent: a second prune removes nothing.
+    assert prune_checkpoints(str(ckpt_dir), keep_last=3, keep_every=500) == 0
+    # keep_last=0 disables pruning entirely.
+    assert prune_checkpoints(str(ckpt_dir), keep_last=0, keep_every=1) == 0
+
+    with pytest.raises(FileNotFoundError) as ei:
+        load_checkpoint(None, str(ckpt_dir), step=450)
+    msg = str(ei.value)
+    assert "450" in msg and "pruned" in msg and "500" in msg
+
+
+def test_trainer_prunes_checkpoints_during_training(tmp_path):
+    """A Trainer run with save_interval=1 and keep_last=2/keep_every=4 ends
+    with only the retained full_* set on disk while every models/<step>
+    params pickle survives."""
+    import jax.random as jr
+
+    from dgppo_fov_tpu.trainer.checkpoint import list_checkpoints
+    from dgppo_fov_tpu.trainer.trainer import Trainer
+
+    env = make_env("MPETarget", num_agents=2, num_obs=0, max_step=4)
+    algo = make_algo(
+        algo="dgppo", env=env, node_dim=env.node_dim, edge_dim=env.edge_dim,
+        state_dim=env.state_dim, action_dim=env.action_dim, n_agents=2,
+        batch_size=8, rnn_step=2, seed=0, train_steps=6,
+    )
+    log_dir = str(tmp_path / "run")
+    trainer = Trainer(
+        env=env, env_test=env, algo=algo, gamma=0.99, n_env_train=2,
+        n_env_test=2, log_dir=log_dir, seed=0,
+        params={
+            "run_name": "t", "training_steps": 6, "eval_interval": 100,
+            "eval_epi": 1, "save_interval": 1,
+            "ckpt_keep_last": 2, "ckpt_keep_every": 4,
+        },
+        use_wandb=False,
+    )
+    trainer.train()
+    # Steps 0..6 saved; retained = newest 2 (5, 6) + every-4th (0, 4).
+    assert list_checkpoints(os.path.join(log_dir, "ckpt")) == [0, 4, 5, 6]
+    models = sorted(int(s) for s in os.listdir(os.path.join(log_dir, "models")))
+    assert models == list(range(0, 7))  # params pickles never pruned
+
+
 @pytest.mark.parametrize("env_id", ["MPETarget", "LidarBicycleTarget", "VMASWheel"])
 def test_render_video_smoke(env_id, tmp_path):
     """render_video writes a real file and returns the path actually written
