@@ -30,7 +30,16 @@ Engineered to survive the axon platform's erratic remote-compile latency
    server load (2026-08-19), so the exposure is halved, not eliminated.
    Both phase lines are held and printed together with the
    ppo_updates_per_s line LAST, so a driver that records the final JSON
-   line gets the update metric whenever ANY phase completed.
+   line gets the update metric whenever ANY phase completed;
+ - algo construction happens on the HOST CPU backend with one batched
+   device_put to the chip (utils/hostinit.py). Eager init on the axon
+   backend was the r4 bench killer: 217.8 s wall / ~8 s CPU of tiny init
+   programs round-tripping the tunnel before any real compile started;
+ - an INSURANCE child process (BENCH_SMALL=0 disables) runs the same update
+   bench at 256 envs x T=32 concurrently over its own tunnel session and
+   its JSON lines are merged into this process's output. Even if the
+   headline compile outlives the deadline on a loaded server (r4: zero
+   output at rc=75), a measured small-shape ppo_updates_per_s line lands.
 
 Env vars:
   BENCH_ENV       environment id        (default MPETarget)
@@ -56,6 +65,9 @@ Env vars:
                   Set BENCH_DTYPE=f32 for the bit-parity configuration.)
   BENCH_STACKED   1|0: stacked Vl+policy update (default 0 — measured
                   1.03x the separate pair, see algo/stacked.py; A/B knob)
+  BENCH_SMALL     1|0: insurance child at 256env x T=32 (default 1 in
+                  'both' mode); BENCH_CPU_UPDATE_SMALL_BASELINE overrides
+                  its CPU-reference denominator
   BENCH_LIDAR_ENV / BENCH_VMAS_ENV  extra breadth rows timed in 'both' mode
                   with leftover deadline budget (defaults LidarSpread and
                   VMASWheel at its native T=64; "0" disables a row)
@@ -157,9 +169,11 @@ import jax.random as jr
 # ---------------------------------------------------------------- telemetry
 
 _PHASE = "startup"
-_RESULT = {}  # staging for the phase currently being measured
+_LOCK = threading.Lock()
+_INFLIGHT = {}  # slot name -> staging dict for a phase currently measuring
 _DONE = []  # finalized phase results, emitted together at the end
 _EMITTED = False
+_HEADLINE = None  # metric name that must be the LAST emitted line
 
 
 def _hb(msg: str) -> None:
@@ -180,18 +194,32 @@ def _heartbeat_loop(period: float = 15.0) -> None:
 
 
 def _ordered_lines(partial: bool):
-    """All completed lines plus the in-flight staging (tagged :partial),
-    sorted so a ppo_updates_per_s line is LAST (it is the metric the driver
-    must capture when it records only the final JSON line)."""
-    lines = list(_DONE)
-    if partial and "value" in _RESULT:
-        lines.append(dict(_RESULT, metric=_RESULT["metric"] + ":partial"))
-    return sorted(lines, key=lambda r: r["metric"].startswith("ppo_updates_per_s"))
+    """All completed lines plus any in-flight staging (tagged :partial),
+    sorted so ppo_updates_per_s lines come last and the headline metric is
+    the FINAL line (it is the metric the driver must capture when it records
+    only the last JSON line)."""
+    with _LOCK:
+        lines = list(_DONE)
+        if partial:
+            lines += [
+                dict(r, metric=r["metric"] + ":partial")
+                for r in _INFLIGHT.values()
+                if "value" in r
+            ]
+    return sorted(
+        lines,
+        key=lambda r: (
+            r["metric"].startswith("ppo_updates_per_s"),
+            r["metric"].split(":partial")[0] == _HEADLINE,
+        ),
+    )
 
 
 def _emit(partial: bool = False) -> None:
     """Print every measured line, one JSON object per line (safe from a
-    signal handler), update metric last."""
+    signal handler), headline update metric last. Every line carries dtype/
+    platform/n_env keys so archived BENCH_r*.json artifacts are
+    self-describing (r4 advisor finding)."""
     global _EMITTED
     if _EMITTED:
         return
@@ -203,22 +231,26 @@ def _emit(partial: bool = False) -> None:
     _EMITTED = True
     if partial:
         _hb(f"emitting {len(lines)} line(s) from phase={_PHASE} (deadline/signal)")
+    keys = ("metric", "value", "unit", "vs_baseline", "dtype", "platform", "n_env")
     for out in lines:
-        print(
-            json.dumps({k: out[k] for k in ("metric", "value", "unit", "vs_baseline")}),
-            flush=True,
-        )
+        print(json.dumps({k: out[k] for k in keys if k in out}), flush=True)
 
 
-def _finalize_phase() -> None:
-    """Move the staged phase result into the finalized set."""
-    if "value" in _RESULT:
-        _DONE.append(dict(_RESULT))
-    _RESULT.clear()
+def _finalize_phase(slot: str = "main") -> None:
+    """Move a slot's staged result into the finalized set."""
+    with _LOCK:
+        r = _INFLIGHT.pop(slot, None)
+        if r and "value" in r:
+            _DONE.append(r)
+
+
+_SMALL_PROC = None  # insurance-phase child; killed on any exit path
 
 
 def _on_signal(signum, frame):
     _emit(partial=True)
+    if _SMALL_PROC is not None and _SMALL_PROC.poll() is None:
+        _SMALL_PROC.kill()  # never leave an orphan TPU client behind
     # Re-raise default behavior so the process actually dies on TERM/INT.
     signal.signal(signum, signal.SIG_DFL)
     if signum != signal.SIGALRM:
@@ -229,10 +261,18 @@ def _on_signal(signum, frame):
         sys.exit(0 if _EMITTED else 75)
 
 
-def _record(metric: str, value: float, unit: str, vs_baseline: float) -> None:
-    _RESULT.update(
-        metric=metric, value=round(value, 4), unit=unit, vs_baseline=round(vs_baseline, 4)
-    )
+def _record(metric: str, value: float, unit: str, vs_baseline: float, *, n_env: int,
+            slot: str = "main") -> None:
+    with _LOCK:
+        _INFLIGHT.setdefault(slot, {}).update(
+            metric=metric,
+            value=round(value, 4),
+            unit=unit,
+            vs_baseline=round(vs_baseline, 4),
+            dtype=os.environ.get("BENCH_DTYPE", "bf16") or "f32",
+            platform=jax.devices()[0].platform,
+            n_env=n_env,
+        )
 
 
 # ---------------------------------------------------------------- workload
@@ -241,26 +281,39 @@ def _record(metric: str, value: float, unit: str, vs_baseline: float) -> None:
 def build(env_id: str, n_env: int, max_step: int, n_agents: int):
     from dgppo_fov_tpu.algo import make_algo
     from dgppo_fov_tpu.env import make_env
+    from dgppo_fov_tpu.utils.hostinit import build_on_host
 
+    t0 = time.perf_counter()
     env = make_env(env_id, num_agents=n_agents, max_step=max_step)
-    algo = make_algo(
-        algo="dgppo",
-        env=env,
-        node_dim=env.node_dim,
-        edge_dim=env.edge_dim,
-        state_dim=env.state_dim,
-        action_dim=env.action_dim,
-        n_agents=env.num_agents,
-        batch_size=n_env * max_step // 2,
-        rnn_step=16,
-        seed=0,
-        train_steps=100,
-        # Default bf16: the validated TPU mode (PARITY.md "Revalidation 1" —
-        # 20k-step MPETarget run, 0 non-finite updates, safe_rate 100%).
-        # BENCH_DTYPE=f32 selects the reference-bit-parity configuration.
-        compute_dtype=os.environ.get("BENCH_DTYPE", "bf16") or None,
-        stacked_update=os.environ.get("BENCH_STACKED", "0") != "0",
-    )
+    t1 = time.perf_counter()
+
+    def construct():
+        return make_algo(
+            algo="dgppo",
+            env=env,
+            node_dim=env.node_dim,
+            edge_dim=env.edge_dim,
+            state_dim=env.state_dim,
+            action_dim=env.action_dim,
+            n_agents=env.num_agents,
+            batch_size=n_env * max_step // 2,
+            rnn_step=16,
+            seed=0,
+            train_steps=100,
+            # Default bf16: the validated TPU mode (PARITY.md "Revalidation
+            # 1" — 20k-step MPETarget run, 0 non-finite updates, safe_rate
+            # 100%). BENCH_DTYPE=f32 is the reference-bit-parity config.
+            compute_dtype=os.environ.get("BENCH_DTYPE", "bf16") or None,
+            stacked_update=os.environ.get("BENCH_STACKED", "0") != "0",
+        )
+
+    # Host-side init + ONE batched transfer: eager construction on the axon
+    # backend was the r4 bench killer — 217.8 s wall / ~8 s CPU of tiny
+    # init programs each doing a tunnel round-trip (BENCH_r04 tail,
+    # VERDICT r4 missing #1a). See utils/hostinit.py.
+    algo = build_on_host(construct)
+    t2 = time.perf_counter()
+    _hb(f"build[{env_id}]: make_env {t1 - t0:.1f}s, make_algo(host)+transfer {t2 - t1:.1f}s")
     return env, algo
 
 
@@ -298,7 +351,8 @@ def cpu_baseline_for(env_id: str, n_agents: int) -> float:
     return float(os.environ.get("BENCH_CPU_BASELINE", default))
 
 
-def run_rollout(env, algo, env_id: str, n_env: int, n_agents: int, iters: int) -> None:
+def run_rollout(env, algo, env_id: str, n_env: int, n_agents: int, iters: int,
+                slot: str = "main") -> None:
     steps_per_iter = n_env * env.max_episode_steps
     n_chips = max(1, len(jax.devices()))
     baseline = cpu_baseline_for(env_id, n_agents)
@@ -313,7 +367,7 @@ def run_rollout(env, algo, env_id: str, n_env: int, n_agents: int, iters: int) -
     # Provisional number in case we are killed before any timed iter: the
     # compile-inclusive rate is a LOWER bound on throughput.
     per_chip0 = steps_per_iter / dt0 / n_chips
-    _record(metric, per_chip0, "steps/s/chip", per_chip0 / baseline)
+    _record(metric, per_chip0, "steps/s/chip", per_chip0 / baseline, n_env=n_env, slot=slot)
     _set_phase(f"collect: compiled+ran in {dt0:.1f}s ({per_chip0:.0f} steps/s/chip incl. compile)")
 
     times = []
@@ -325,7 +379,7 @@ def run_rollout(env, algo, env_id: str, n_env: int, n_agents: int, iters: int) -
         jax.block_until_ready(rollout.rewards)
         times.append(time.perf_counter() - t)
         per_chip = steps_per_iter / (sum(times) / len(times)) / n_chips
-        _record(metric, per_chip, "steps/s/chip", per_chip / baseline)
+        _record(metric, per_chip, "steps/s/chip", per_chip / baseline, n_env=n_env, slot=slot)
         _hb(f"iter {i + 1}: {times[-1]:.2f}s -> running mean {per_chip:.0f} steps/s/chip")
     return rollout
 
@@ -348,13 +402,76 @@ def zeros_rollout(algo, n_env: int):
 # iters 417.9 s and 390.3 s after a 537.6 s compile+first run).
 CPU_UPDATE_BASELINE = 0.00247  # updates/s (~405 s per update)
 
+# Insurance-phase shape (guaranteed-cheap first metric, VERDICT r4 weak #1):
+# small enough to compile+run fast, same program structure as the headline.
+SMALL_N_ENV, SMALL_MAX_STEP = 256, 32
+# Measured on this image 2026-08-20 (one CPU device, DGPPO @ MPETarget n=3,
+# 256 envs x T=32, batch 4096 -> 2 minibatches, f32; timed iters 5.97-6.09 s).
+CPU_UPDATE_SMALL_BASELINE = 0.166  # updates/s (~6.0 s per update)
 
-def run_update(env, algo, env_id: str, n_env: int, iters: int, rollout=None) -> None:
+
+def _spawn_small_update(env_id: str, n_agents: int, deadline_left: float):
+    """Run the small-shape update bench in a SEPARATE process (its own
+    tunnel session, so its remote compile is not queued behind this
+    process's headline compile) and stream its JSON lines into _DONE as
+    they arrive. Returns the Popen handle (or None).
+
+    This is the guaranteed-cheap first metric: even if the headline
+    2048-env compile outlives the deadline (r4: build stall + cold bf16
+    compile = zero output), the driver still records a measured
+    ppo_updates_per_s line at the small shape."""
+    import subprocess
+
+    child_env = dict(
+        os.environ,
+        BENCH_MODE="update",
+        BENCH_ENV=env_id,
+        BENCH_N_AGENTS=str(n_agents),
+        BENCH_N_ENV=str(SMALL_N_ENV),
+        BENCH_MAX_STEP=str(SMALL_MAX_STEP),
+        BENCH_ITERS="2",
+        BENCH_SMALL="0",
+        BENCH_DEADLINE=str(max(60, int(deadline_left - 30))),
+        BENCH_CPU_UPDATE_BASELINE=os.environ.get(
+            "BENCH_CPU_UPDATE_SMALL_BASELINE", str(CPU_UPDATE_SMALL_BASELINE)
+        ),
+    )
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=child_env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+    except OSError as e:
+        _hb(f"small-update subprocess failed to start: {e}")
+        return None
+
+    def _reader():
+        for line in proc.stdout:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in row and "value" in row:
+                with _LOCK:
+                    _DONE.append(row)
+                _hb(f"small-update row landed: {row['metric']} = {row['value']}")
+        proc.stdout.close()
+
+    threading.Thread(target=_reader, daemon=True).start()
+    return proc
+
+
+def run_update(env, algo, env_id: str, n_env: int, iters: int, rollout=None,
+               slot: str = "main", baseline: float = None) -> None:
     import numpy as np
 
     np.random.seed(0)
     metric = f"ppo_updates_per_s@{env_id}:{n_env}env"
-    baseline = float(os.environ.get("BENCH_CPU_UPDATE_BASELINE", CPU_UPDATE_BASELINE))
+    if baseline is None:
+        baseline = float(os.environ.get("BENCH_CPU_UPDATE_BASELINE", CPU_UPDATE_BASELINE))
 
     if rollout is None:
         if os.environ.get("BENCH_UPDATE_INPUT", "zeros") == "collect":
@@ -365,27 +482,28 @@ def run_update(env, algo, env_id: str, n_env: int, iters: int, rollout=None) -> 
         else:
             _set_phase("update: build zeros rollout (eval_shape)")
             rollout = zeros_rollout(algo, n_env)
-    _set_phase("update: compile+first update")
+    _set_phase(f"update[{slot}]: compile+first update")
     t = time.perf_counter()
     info = algo.update(rollout, step=0)
     jax.block_until_ready(info["policy/loss"])
     dt0 = time.perf_counter() - t
-    _record(metric, 1.0 / dt0, "updates/s", (1.0 / dt0) / baseline)
-    _set_phase(f"update: compiled+ran in {dt0:.1f}s")
+    _record(metric, 1.0 / dt0, "updates/s", (1.0 / dt0) / baseline, n_env=n_env, slot=slot)
+    _set_phase(f"update[{slot}]: compiled+ran in {dt0:.1f}s")
 
     times = []
     for i in range(iters):
-        _set_phase(f"update: timed iter {i + 1}/{iters}")
+        _set_phase(f"update[{slot}]: timed iter {i + 1}/{iters}")
         t = time.perf_counter()
         info = algo.update(rollout, step=i + 1)
         jax.block_until_ready(info["policy/loss"])
         times.append(time.perf_counter() - t)
         ups = 1.0 / (sum(times) / len(times))
-        _record(metric, ups, "updates/s", ups / baseline)
+        _record(metric, ups, "updates/s", ups / baseline, n_env=n_env, slot=slot)
         _hb(f"iter {i + 1}: {times[-1]:.2f}s -> running mean {ups:.3f} updates/s")
 
 
 def main():
+    global _HEADLINE
     env_id = os.environ.get("BENCH_ENV", "MPETarget")
     n_env = int(os.environ.get("BENCH_N_ENV", 2048))
     max_step = int(os.environ.get("BENCH_MAX_STEP", 128))
@@ -393,6 +511,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "both")
     iters = int(os.environ.get("BENCH_ITERS", 3))
     deadline = float(os.environ.get("BENCH_DEADLINE", 480))
+    _HEADLINE = f"ppo_updates_per_s@{env_id}:{n_env}env"
 
     for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
         signal.signal(sig, _on_signal)
@@ -404,6 +523,11 @@ def main():
         f"mode={mode} iters={iters} deadline={deadline:.0f}s cache={_CACHE_DIR} "
         f"devices={jax.devices()}"
     )
+    global _SMALL_PROC
+    small_proc = None
+    if mode == "both" and os.environ.get("BENCH_SMALL", "1") != "0":
+        small_proc = _spawn_small_update(env_id, n_agents, deadline - (time.time() - _T0))
+        _SMALL_PROC = small_proc
     _set_phase("build env+algo")
     env, algo = build(env_id, n_env, max_step, n_agents)
 
@@ -442,6 +566,22 @@ def main():
             renv, ralgo = build(row_env_id, n_env, row_max_step, n_agents)
             run_rollout(renv, ralgo, row_env_id, n_env, n_agents, min(2, iters))
             _finalize_phase()
+
+    if small_proc is not None and small_proc.poll() is None:
+        # Big phases done with budget to spare; give the insurance child its
+        # own remaining slice, then ask it to emit what it has (SIGTERM ->
+        # its handler prints partial lines, the reader thread collects them).
+        budget_left = deadline - (time.time() - _T0)
+        _set_phase(f"waiting on small-update child ({budget_left:.0f}s budget left)")
+        try:
+            small_proc.wait(timeout=max(1, budget_left - 15))
+        except Exception:
+            small_proc.terminate()
+            try:
+                small_proc.wait(timeout=10)
+            except Exception:
+                small_proc.kill()
+    time.sleep(0.5)  # let the reader thread drain the child's final lines
 
     signal.alarm(0)
     _emit()

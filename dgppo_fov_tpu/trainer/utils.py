@@ -74,6 +74,9 @@ class EntropyCollapseMonitor:
         per_dim = entropy / self.action_dim
         if per_dim < self.TERMINAL_PER_DIM and not self._warned_terminal:
             self._warned_terminal = True
+            # A run that collapses straight past TERMINAL must not fire the
+            # lesser 'deep' warning on the NEXT check (escalation downgrade).
+            self._warned_deep = True
             return (
                 f"policy entropy {entropy:.1f} ({per_dim:.1f}/dim) is pinned at the "
                 "sigma floor — the terminal collapse basin (PARITY.md sigma-floor "

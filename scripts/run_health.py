@@ -10,7 +10,31 @@ below the ~-11.5/dim event horizon with a flat trajectory means the
 entropy-bonus gradient has vanished and the run will not recover.
 """
 import json
+import os
 import sys
+
+# action_dim per registered env (env/<family>/*.py; the logged policy/entropy
+# is the per-agent SUM over action dims, while the collapse thresholds in
+# EntropyCollapseMonitor are per-dim — r4 advisor: raw thresholds silently
+# assumed 2 dims). Envs not listed fall back to 2.
+ACTION_DIMS = {
+    "MPETarget": 2, "MPESpread": 2, "MPELine": 2, "MPEFormation": 2,
+    "MPECorridor": 2, "MPEConnectSpread": 2,
+    "LidarTarget": 2, "LidarSpread": 2, "LidarLine": 2, "LidarBicycleTarget": 2,
+    "LidarOmniTarget": 3,
+    "VMASReverseTransport": 2, "VMASWheel": 2,
+}
+
+
+def action_dim_for(run_dir: str) -> int:
+    try:
+        import yaml
+
+        with open(os.path.join(run_dir, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        return ACTION_DIMS.get(cfg.get("env"), 2)
+    except Exception:
+        return 2
 
 
 def main(run_dir: str) -> None:
@@ -39,10 +63,15 @@ def main(run_dir: str) -> None:
         e = ev[-1]
         msg += f"  eval@{e['step']}: reward {e['eval/reward']:.3f} unsafe {e['eval/unsafe_frac']:.2f}"
     print(msg)
-    if min(tail) < -15 and max(tail) < -15 and step > 4000:
-        print("VERDICT: COLLAPSED (entropy pinned below -15; sigma-floor basin)")
-    elif last["policy/entropy"] < -8:
-        print("VERDICT: AT-RISK (deep entropy dip; watch next check)")
+    # Per-dim thresholds shared with EntropyCollapseMonitor (-9.5 terminal,
+    # -6 deep): raw-entropy cuts would misread 1-dim and 3+-dim action envs.
+    dim = action_dim_for(run_dir)
+    tail_min_pd, tail_max_pd = min(tail) / dim, max(tail) / dim
+    last_pd = last["policy/entropy"] / dim
+    if tail_min_pd < -9.5 and tail_max_pd < -9.5 and step > 4000:
+        print(f"VERDICT: COLLAPSED (entropy pinned below -9.5/dim at {dim} dims; sigma-floor basin)")
+    elif last_pd < -6:
+        print(f"VERDICT: AT-RISK (entropy {last_pd:.1f}/dim; watch next check)")
     else:
         print("VERDICT: HEALTHY")
 

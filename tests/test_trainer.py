@@ -310,6 +310,19 @@ def test_entropy_collapse_monitor_escalates_once_and_rearms():
     assert m.check(-13.0) is not None        # ...so a second dip warns again
 
 
+def test_entropy_collapse_monitor_no_downgrade_after_terminal():
+    """A run that collapses STRAIGHT past terminal must not fire the lesser
+    'deep' warning on the next check (r4 advisor: escalation downgrade)."""
+    from dgppo_fov_tpu.trainer.utils import EntropyCollapseMonitor
+
+    m = EntropyCollapseMonitor(action_dim=2)
+    terminal = m.check(-22.0)                # first check is already terminal
+    assert terminal is not None and "terminal" in terminal
+    assert m.check(-14.0) is None            # deep range: stays silent
+    assert m.check(0.5) is None              # recovery re-arms deep
+    assert m.check(-13.0) is not None        # second dip warns again
+
+
 def test_checkpoint_reroll_restores_state_but_not_collect_stream(tmp_path):
     """The rescue workflow PARITY.md documents for collapsed runs: resume a
     full checkpoint under a DIFFERENT CLI seed. Params/optimizer/algo-key and
