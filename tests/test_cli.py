@@ -147,3 +147,38 @@ def test_no_deprecated_clip_spelling():
                     if "a_min=" in line or "a_max=" in line:
                         offenders.append(f"{path}:{lineno}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_bench_emit_ordering_headline_last():
+    """The driver records the LAST JSON line of bench.py stdout; the emit
+    contract is: non-update rows first, ppo_updates_per_s rows after, and
+    the headline (big-shape) update metric strictly last — including any
+    insurance-child rows merged from _DONE in arbitrary arrival order."""
+    snippet = (
+        "import bench\n"
+        "bench._HEADLINE = 'ppo_updates_per_s@MPETarget:2048env'\n"
+        "bench._record('ppo_updates_per_s@MPETarget:2048env', 0.9, 'updates/s', 300.0,"
+        " n_env=2048, slot='main')\n"
+        "bench._finalize_phase('main')\n"
+        "bench._record('env_steps_per_s_per_chip@MPETarget:2048env', 2e6, 'steps/s/chip',"
+        " 120.0, n_env=2048, slot='main')\n"
+        "bench._finalize_phase('main')\n"
+        "bench._record('ppo_updates_per_s@MPETarget:256env', 17.0, 'updates/s', 100.0,"
+        " n_env=256, slot='small')\n"
+        "bench._finalize_phase('small')\n"
+        "bench._emit()\n"
+    )
+    r = _run(
+        [sys.executable, "-c", snippet],
+        {"BENCH_PLATFORM": "cpu", "BENCH_CACHE_DIR": "/tmp/bench_emit_test_cache"},
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    lines = [_json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    metrics = [l["metric"] for l in lines]
+    assert len(metrics) == 3
+    assert metrics[0] == "env_steps_per_s_per_chip@MPETarget:2048env"
+    assert metrics[-1] == "ppo_updates_per_s@MPETarget:2048env"
+    assert all({"dtype", "platform", "n_env"} <= set(l) for l in lines)
