@@ -149,7 +149,11 @@ def test(args):
     step = resolve_step(run_dir, args.step)
     print("step: ", step)
 
-    algo = make_algo(
+    # Host-side construction (utils/hostinit.py): eval startup skips the
+    # eager-init tunnel round-trips; _restore then overwrites the params.
+    from ..utils.hostinit import build_on_host
+
+    algo = build_on_host(lambda: make_algo(
         algo=cfg.get("algo"),
         env=env,
         node_dim=env.node_dim,
@@ -169,8 +173,13 @@ def test(args):
         rnn_layers=cfg.get("rnn_layers", 1),
         use_lstm=cfg.get("use_lstm", False),
         std_dev_min=cfg.get("std_dev_min", 1e-5),
-    )
+    ))
     _restore(algo, args, os.path.join(run_dir, "models"), step)
+    # Commit the restored (pickled-numpy) params to the device once; without
+    # this every jitted eval call re-uploads the uncommitted host arrays.
+    from ..utils.hostinit import algo_to_device
+
+    algo_to_device(algo, jax.devices()[0])
 
     if args.stochastic:
         def act_fn(graph, rnn_state, key):

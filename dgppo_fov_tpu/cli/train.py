@@ -153,7 +153,8 @@ def train(args):
         max_step=args.max_step,
     )
 
-    algo = make_algo(
+    def _construct_algo():
+        return make_algo(
         algo=args.algo,
         env=env,
         node_dim=env.node_dim,
@@ -190,6 +191,20 @@ def train(args):
         compute_dtype="bfloat16" if args.bf16 else None,
     )
 
+    if args.mesh or args.gpu is not None or jax.process_count() > 1:
+        # Mesh/multi-host/pinned-device runs keep the default placement
+        # semantics (params replicate through the sharded jits).
+        algo = _construct_algo()
+    else:
+        # Single-device runs: construct on the host CPU and ship the state
+        # in ONE batched transfer. On the remote-TPU backend eager init is
+        # O(100) tiny programs round-tripping the tunnel (~200 s of startup
+        # measured r4->r5, utils/hostinit.py); host-built params are
+        # bit-identical (tests/test_hostinit.py).
+        from ..utils.hostinit import build_on_host
+
+        algo = build_on_host(_construct_algo)
+
     start_step = 0
     if args.load_checkpoint:
         assert args.load_step is not None, "--load-checkpoint requires --load-step"
@@ -202,6 +217,15 @@ def train(args):
         resumed_step = load_full_checkpoint(algo, args.load_full, args.load_step)
         print(f"> Resumed full state at step {resumed_step}")
         start_step = resumed_step
+    if (args.load_checkpoint or args.load_full) and not (
+        args.mesh or args.gpu is not None or jax.process_count() > 1
+    ):
+        # Loaded params arrive as host (numpy/orbax) arrays; commit them to
+        # the device once so the train loop doesn't re-upload uncommitted
+        # host buffers on every jitted call.
+        from ..utils.hostinit import algo_to_device
+
+        algo_to_device(algo, jax.devices()[0])
 
     rng_ = np.random.default_rng()
     rand_id = "".join([chr(rng_.integers(65, 91)) for _ in range(4)])
