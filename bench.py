@@ -371,16 +371,25 @@ def run_rollout(env, algo, env_id: str, n_env: int, n_agents: int, iters: int,
     _set_phase(f"collect: compiled+ran in {dt0:.1f}s ({per_chip0:.0f} steps/s/chip incl. compile)")
 
     times = []
+    burst = 1
     for i in range(iters):
-        _set_phase(f"collect: timed iter {i + 1}/{iters}")
-        keys = jr.split(jr.PRNGKey(i + 1), n_env)
+        _set_phase(f"collect: timed iter {i + 1}/{iters} (burst {burst})")
+        keys = [jr.split(jr.PRNGKey(i * burst + j + 1), n_env) for j in range(burst)]
         t = time.perf_counter()
-        rollout = algo.collect(algo.params, keys)
+        for k in keys:
+            rollout = algo.collect(algo.params, k)
         jax.block_until_ready(rollout.rewards)
-        times.append(time.perf_counter() - t)
+        times.append((time.perf_counter() - t) / burst)
         per_chip = steps_per_iter / (sum(times) / len(times)) / n_chips
         _record(metric, per_chip, "steps/s/chip", per_chip / baseline, n_env=n_env, slot=slot)
-        _hb(f"iter {i + 1}: {times[-1]:.2f}s -> running mean {per_chip:.0f} steps/s/chip")
+        _hb(f"iter {i + 1}: {times[-1]:.3f}s/collect -> running mean {per_chip:.0f} steps/s/chip")
+        if i == 0 and times[0] < 0.15:
+            # Sub-150 ms programs are dispatch-latency-bound through the
+            # remote tunnel (VMASWheel T=64: ~55 ms compute but 38-60 ms
+            # of per-call round-trip, which swung the row 48-72x across
+            # days). Burst several async dispatches per timed iter so the
+            # device pipeline, not the tunnel, sets the rate.
+            burst = max(1, int(round(0.5 / max(times[0], 1e-3))))
     return rollout
 
 
